@@ -1,0 +1,228 @@
+"""The extraction job: pages -> raw OCR rows -> ocr_pages + ocr_blocks.
+
+Spark-first re-expression of the reference's ingest pipeline
+(/root/reference/StudiOCR/OcrWorker.py:60-93 + OcrEngine.py:23-136): the
+multiprocessing Queue/Pipe/Pool plumbing collapses into ONE logical plan —
+a narrow ``mapInPandas`` stage (Arrow-batched, one decode call per page,
+zero per-row Python at the Spark layer) followed by declarative explodes/
+filters. No shuffle is required to produce blocks or per-page stats; the
+only wide operation in the whole job is the optional per-url text
+reassembly for multi-page documents.
+
+Scale notes (100 TB):
+- decode cost is per-row and embarrassingly parallel -> ``repartition(N)``
+  round-robin spreads payload bytes evenly; no key skew exists at this
+  stage (skew handling lives where keys do: index build / search joins).
+- Arrow batch size is capped (session.ARROW_BATCH_ROWS) because rows carry
+  ~10-100 KB binary payloads.
+- blocks explode from an array column -> stays in the same stage as the
+  UDF output (WholeStageCodegen), lands filtered and column-pruned.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import OCR_BLOCKS_SCHEMA
+from ..sources.decode import get_decoder
+
+# one row per *page*: url, page_no, stored image, exact page text, and the
+# raw image_to_data rows (UNFILTERED — the whitespace filter is applied
+# declaratively downstream so the plan shows it and char-stats can use the
+# raw rows, OcrPageData.py:41-43).
+RAW_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("block_no", T.IntegerType(), False),
+        T.StructField("left", T.IntegerType(), True),
+        T.StructField("top", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("conf", T.IntegerType(), True),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("page_no", T.IntegerType(), False),
+        T.StructField("image", T.BinaryType(), True),
+        T.StructField("page_text", T.StringType(), True),
+        T.StructField("raw", T.ArrayType(RAW_ROW_SCHEMA), True),
+        # non-null => the payload failed to decode; the row is a quarantine
+        # marker (page_no=-1, raw=[]) so one corrupt page can never fail a
+        # 100 TB job, and failures stay auditable (see quarantine()).
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+# Java-regex equivalent of Python str.isspace() over the chars tesseract
+# emits (ASCII + latin-1 NBSP). ``''`` does NOT match -> empty strings are
+# KEPT, exactly like ``not text.isspace()`` (OcrEngine.py:131, quirk 1).
+WHITESPACE_ONLY_RE = r"^[\s\u0085\u00A0]+$"
+
+
+def non_whitespace_filter(text_col: Column) -> Column:
+    """F1: the reference's block-upload predicate (keeps empty strings)."""
+    return ~text_col.rlike(WHITESPACE_ONLY_RE)
+
+
+def extract_raw(
+    pages: DataFrame,
+    backend: str = "bitmap",
+    num_partitions: int | None = None,
+    page_text_join: str = " ",
+    errors: str = "skip",
+) -> DataFrame:
+    """pages -> one row per rasterized page with raw OCR parallel arrays.
+
+    ``backend`` selects the decode chain (sources/decode.py): 'bitmap'
+    (deterministic, sandbox) or 'tesseract' (production). 1 input row ->
+    N output rows for multi-page payloads (the PdfToImage.py flatMap
+    shape). ``errors='skip'`` (default) turns undecodable payloads into
+    quarantine rows (``error`` non-null) instead of task failures;
+    ``'fail'`` restores fail-fast for debugging.
+    """
+    decoder = get_decoder(backend)
+    if errors not in ("skip", "fail"):
+        raise ValueError("errors must be 'skip' or 'fail'")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.glyphs import decode_page_text
+
+        cols = ["url", "page_no", "image", "page_text", "raw", "error"]
+        for pdf in batches:
+            out: list[dict] = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                try:
+                    if html is None:
+                        raise ValueError("null html payload")
+                    decoded = decoder(bytes(html))
+                except Exception as exc:
+                    if errors == "fail":
+                        raise
+                    out.append(
+                        {
+                            "url": url,
+                            "page_no": -1,
+                            "image": None,
+                            "page_text": None,
+                            "raw": [],
+                            "error": f"{type(exc).__name__}: {exc}",
+                        }
+                    )
+                    continue
+                for page_no, (png, data) in enumerate(decoded):
+                    raw = [
+                        {
+                            "block_no": i,
+                            "left": int(data["left"][i]),
+                            "top": int(data["top"][i]),
+                            "width": int(data["width"][i]),
+                            "height": int(data["height"][i]),
+                            "conf": int(data["conf"][i]),
+                            "text": str(data["text"][i]),
+                        }
+                        for i in range(len(data["text"]))
+                    ]
+                    # page text = the non-structural tokens joined; for the
+                    # bitmap backend we keep the exact decoded grid text to
+                    # honor the byte-identical contract.
+                    if backend == "bitmap":
+                        page_text = decode_page_text(png)
+                    else:
+                        page_text = page_text_join.join(
+                            t for t in data["text"] if t and not t.isspace()
+                        )
+                    out.append(
+                        {
+                            "url": url,
+                            "page_no": page_no,
+                            "image": png,
+                            "page_text": page_text,
+                            "raw": raw,
+                            "error": None,
+                        }
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    if num_partitions:
+        pages = pages.repartition(num_partitions)
+    return pages.select("url", "html").mapInPandas(run, schema=EXTRACT_SCHEMA)
+
+
+def blocks_from_raw(raw_df: DataFrame) -> DataFrame:
+    """Explode raw rows -> ocr_blocks with the F1 whitespace filter.
+
+    Narrow (no shuffle): generate + filter + project in one codegen stage.
+    """
+    b = raw_df.select(
+        "url", "page_no", F.explode("raw").alias("r")
+    ).select(
+        "url",
+        "page_no",
+        F.col("r.block_no").alias("block_no"),
+        F.col("r.left").alias("left"),
+        F.col("r.top").alias("top"),
+        F.col("r.width").alias("width"),
+        F.col("r.height").alias("height"),
+        F.col("r.conf").alias("conf"),
+        F.col("r.text").alias("text"),
+    )
+    return b.filter(non_whitespace_filter(F.col("text")))
+
+
+def assemble_doc_text(raw_df: DataFrame, sep: str = " ") -> DataFrame:
+    """(url, extracted_text): page texts joined in page order.
+
+    The byte-identical target: for the synthetic corpus,
+    ``extracted_text == pages.text`` per url. The only wide op of the
+    extract job; partial aggregation applies and pages-per-url is tiny,
+    so the shuffle is by far cheaper than the decode stage.
+    """
+    return (
+        raw_df.filter(F.col("error").isNull())
+        .groupBy("url")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("page_no", "page_text"))
+                    ),
+                    lambda s: s["page_text"],
+                ),
+                sep,
+            ).alias("extracted_text"),
+            F.count("*").alias("n_pages"),
+        )
+    )
+
+
+def run_extract(
+    pages: DataFrame,
+    backend: str = "bitmap",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Convenience: (ocr_pages_df, ocr_blocks_df) from a pages table.
+
+    ``ocr_pages`` carries page_stats computed shuffle-free from the raw
+    array column (operators/stats.py).
+    """
+    from .stats import page_stats_from_raw
+
+    raw = extract_raw(pages, backend=backend, num_partitions=num_partitions)
+    ok = raw.filter(F.col("error").isNull())
+    ocr_pages = page_stats_from_raw(ok).select(
+        "url", "page_no", "image", "page_text", "page_stats"
+    )
+    ocr_blocks = blocks_from_raw(ok).select(*OCR_BLOCKS_SCHEMA.fieldNames())
+    return ocr_pages, ocr_blocks
+
+
+def quarantine(raw_df: DataFrame) -> DataFrame:
+    """Undecodable payloads with their error strings (audit/lineage)."""
+    return raw_df.filter(F.col("error").isNotNull()).select("url", "error")

@@ -1,0 +1,111 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Every config here is chosen for the 100 TB target, then sized down by env
+for the local[32] sandbox:
+
+- AQE on (runtime coalescing, skew-join splitting) — the north_rule mandates
+  explicit skew handling; AQE is the first line, salting (operators/extract)
+  the second.
+- ``spark.sql.shuffle.partitions`` ~ cores locally; on a real cluster this is
+  overridden per job (2-3x total cores) and AQE coalesces down.
+- Arrow enabled everywhere: every hot Python path is a pandas UDF.
+- OMP_THREAD_LIMIT=1 for executor-side native libs: parallelism comes from
+  Spark tasks, not intra-task OMP threads (reference pins the same —
+  /root/reference/StudiOCR/OcrEngine.py:87).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+# Arrow batch size for the extract UDF: pages carry ~100 KB binary payloads,
+# so cap batches well below the default 10k rows to bound UDF memory.
+ARROW_BATCH_ROWS = 512
+
+
+def get_spark(
+    app_name: str = "studiocr_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``master`` defaults to ``local[N]`` with N from ``SPARK_GRAFT_CPUS`` (or
+    all cores). On a real cluster, pass ``master=None`` with
+    ``spark-submit --master yarn/k8s`` and these configs still apply.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS)
+        )
+        # native-lib thread cap inside UDF workers (tesseract/numpy BLAS):
+        # one task = one core; cf. reference OcrEngine.py:87.
+        .config("spark.executorEnv.OMP_THREAD_LIMIT", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
+    return spark
+
+
+def build_pyfiles_zip(dest: str | None = None) -> str:
+    """Zip this package for ``spark-submit --py-files`` / ``addPyFile``.
+
+    The same artifact serves both the production submit path
+    (``spark-submit --py-files studiocr_spark.zip jobs/extract_submit.py``)
+    and local sessions whose driver cwd is not the repo root.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if dest is None:
+        dest = os.path.join(tempfile.gettempdir(), "studiocr_spark.zip")
+    with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.join(
+                    "studiocr_spark", os.path.relpath(full, pkg_dir)
+                )
+                zf.write(full, rel)
+    return dest
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``studiocr_spark`` importable inside Python UDF workers.
+
+    Driver-side ``sys.path`` does not propagate to executor Python
+    workers; ``addPyFile`` does (and is a no-op re-adding the same file).
+    """
+    try:
+        spark.sparkContext.addPyFile(build_pyfiles_zip())
+    except Exception:
+        # e.g. Spark Connect sessions without an SC — UDFs then rely on a
+        # cluster-provided --py-files artifact.
+        pass

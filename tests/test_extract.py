@@ -1,0 +1,143 @@
+"""Extract pipeline vs the pure-Python oracle + the byte-identical contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from studiocr_spark.functions.glyphs import page_image_to_data
+from studiocr_spark.operators.extract import assemble_doc_text
+from studiocr_spark.sources.decode import bitmap_decode
+
+from . import oracle
+
+
+def test_extracted_text_byte_identical(pages_df, extracted):
+    """north_rule: extracted text per url == ground-truth text, 100%."""
+    raw, _, _ = extracted
+    joined = assemble_doc_text(raw).join(
+        pages_df.select("url", "text"), "url"
+    )
+    n_total = joined.count()
+    n_match = joined.filter(
+        F.col("extracted_text").eqNullSafe(F.col("text"))
+    ).count()
+    assert n_total == 120
+    assert n_match == n_total
+
+
+def test_blocks_match_oracle(pages_df, extracted):
+    """ocr_blocks rows == oracle commit_blocks per (url, page_no)."""
+    _, _, ocr_blocks = extracted
+    got = {}
+    for r in ocr_blocks.collect():
+        got.setdefault((r.url, r.page_no), []).append(
+            {
+                "block_no": r.block_no,
+                "left": r.left,
+                "top": r.top,
+                "width": r.width,
+                "height": r.height,
+                "conf": r.conf,
+                "text": r.text,
+            }
+        )
+    for key in got:
+        got[key].sort(key=lambda b: b["block_no"])
+
+    expected = {}
+    for row in pages_df.select("url", "html").collect():
+        for page_no, (_, data) in enumerate(bitmap_decode(bytes(row.html))):
+            expected[(row.url, page_no)] = oracle.commit_blocks(data)
+
+    assert set(got) == set(expected)
+    for key, exp in expected.items():
+        assert got[key] == exp, key
+
+
+def test_structural_rows_kept(extracted):
+    """Quirk 1: conf=-1 empty-text rows survive the whitespace filter."""
+    _, _, ocr_blocks = extracted
+    n_structural = ocr_blocks.filter(
+        (F.col("text") == "") & (F.col("conf") == -1)
+    ).count()
+    assert n_structural > 0
+
+
+def test_whitespace_only_dropped(spark):
+    """Quirk 1 inverse: non-empty all-whitespace texts are dropped."""
+    from studiocr_spark.operators.extract import non_whitespace_filter
+
+    df = spark.createDataFrame(
+        [("",), (" ",), ("\t",), ("  \t ",), ("a",), (" a ",), (" ",)],
+        "text string",
+    )
+    kept = [
+        r.text for r in df.filter(non_whitespace_filter(F.col("text"))).collect()
+    ]
+    # matches Python's `not t.isspace()` row for row
+    assert kept == [t for t in ["", " ", "\t", "  \t ", "a", " a ", " "] if not t.isspace()]
+
+
+def test_page_stats_match_oracle(pages_df, extracted):
+    """page_stats struct == oracle OcrPageData transcription."""
+    _, ocr_pages, _ = extracted
+    got = {
+        (r.url, r.page_no): r.page_stats.asDict(recursive=True)
+        for r in ocr_pages.select("url", "page_no", "page_stats").collect()
+    }
+    sample = 0
+    for row in pages_df.select("url", "html").limit(40).collect():
+        for page_no, (_, data) in enumerate(bitmap_decode(bytes(row.html))):
+            exp = oracle.page_stats(data)
+            g = got[(row.url, page_no)]
+            assert g["word_counts"] == exp["word_counts"]
+            assert g["unique_texts"] == exp["unique_texts"]
+            assert g["char_counts"] == exp["char_counts"]
+            assert sorted(g["unique_chars"]) == exp["unique_chars"]
+            assert g["ascii_histogram"] == exp["ascii_histogram"]
+            assert {k: list(v) for k, v in g["conf_by_text"].items()} == exp[
+                "conf_by_text"
+            ]
+            sample += 1
+    assert sample >= 40
+
+
+def test_grouped_stats_match_raw_path(extracted):
+    """Strategy 2 (explode->groupBy) agrees with strategy 1 (HOF)."""
+    from studiocr_spark.operators.stats import page_stats_grouped
+
+    raw, ocr_pages, ocr_blocks = extracted
+    grouped = {
+        (r.url, r.page_no): r.asDict(recursive=True)
+        for r in page_stats_grouped(ocr_blocks).collect()
+    }
+    hof = {
+        (r.url, r.page_no): r.page_stats.asDict(recursive=True)
+        for r in ocr_pages.select("url", "page_no", "page_stats").collect()
+    }
+    assert set(grouped) == set(hof)
+    for k, g in grouped.items():
+        assert g["word_counts"] == hof[k]["word_counts"], k
+        assert g["unique_texts"] == hof[k]["unique_texts"], k
+        assert g["conf_by_text"] == hof[k]["conf_by_text"], k
+
+
+def test_quirk_fixture_unit():
+    """FIXTURES.md §2 hand-built parallel arrays through the oracle."""
+    data = {
+        "left": [0, 5, 9, 9, 13, 2, 7],
+        "top": [0, 1, 2, 2, 3, 4, 5],
+        "width": [10, 3, 3, 3, 8, 2, 4],
+        "height": [5, 1, 1, 1, 1, 1, 1],
+        "conf": [-1, 95, 42, 17, 95, 88, -1],
+        "text": ["", "cat", "cat", "cat", "concatenate", "Cat", "   "],
+    }
+    blocks = oracle.commit_blocks(data)
+    # whitespace-only dropped, empty kept
+    assert [b["text"] for b in blocks] == ["", "cat", "cat", "cat", "concatenate", "Cat"]
+    stats = oracle.page_stats(data)
+    assert stats["word_counts"] == {"": 1, "cat": 3, "concatenate": 1, "Cat": 1}
+    assert stats["conf_by_text"]["cat"] == [17, 42, 95]  # set -> sorted
+    # char stats over RAW texts include the whitespace-only row's spaces
+    assert stats["char_counts"][" "] == 3
+    assert stats["ascii_histogram"][ord(" ") - 32] == 3
