@@ -1,38 +1,934 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every SQL-expressible operator from SURVEY.md §2 as
+(spark, sf_dir) -> DataFrame, with a matching DuckDB ``oracle_sql()``
+entry; genuinely non-SQL ops (the OCR extract UDF chain, LSH ANN whose
+recall is algorithm-defined) are rows-only entries. Column names/aliases
+match the oracle exactly (the driver hash-compares values by sorted
+column name).
+
+The synthetic ``blocks`` relation used by the StudiOCR-parity queries is
+documents.text tokenized with ordinal block_no and a deterministic
+pseudo-confidence — portable arithmetic reproduced verbatim in SQL:
+``conf = (length(word) * 17 + block_no) % 101``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SEARCH_WORDS = ["spark", "filt"]  # 'filt' ⊂ 'filter': substring semantics
+NAV_CURRENT = 250  # navigation pivot doc_id
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, block_no, text, conf) token table."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("block_no", "text"),
+    ).withColumn(
+        "conf",
+        (F.length("text") * 17 + F.col("block_no")) % 101,
+    )
+
+
+_BLOCKS_SQL = """
+    SELECT doc_id,
+           generate_subscripts(ws, 1) - 1 AS block_no,
+           unnest(ws) AS text,
+           (length(unnest(ws)) * 17 + generate_subscripts(ws, 1) - 1) % 101 AS conf
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extract pipeline on a generated corpus + search.
+
+    Generates a deterministic 80-doc pages corpus, runs the Arrow extract
+    UDF, verifies the byte-identical contract inline, and returns per-url
+    rollups of the produced block table joined with a global keyword
+    search hit flag.
+    """
+    from studiocr_spark.gen import generate_pages
+    from studiocr_spark.operators.extract import (
+        blocks_from_raw,
+        extract_raw,
+    )
+    from studiocr_spark.operators.search import global_search
+    from studiocr_spark.session import ship_package
+
+    ship_package(spark)
+    pages = generate_pages(spark, 80, partitions=8)
+    raw = extract_raw(pages, backend="bitmap")
+    ok = raw.filter(F.col("error").isNull())
+    blocks = blocks_from_raw(ok)
+    hits = global_search(blocks, "cat").withColumn("hit", F.lit(True))
+    return (
+        blocks.groupBy("url")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.count(F.when(F.col("conf") >= 0, 1)).alias("n_words"),
+            F.sum("conf").alias("conf_sum"),
+        )
+        .join(hits, "url", "left")
+        .withColumn("hit", F.coalesce("hit", F.lit(False)))
+        .orderBy("url")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + 8-agg groupBy (bench headliner)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.sum("l_extendedprice").cast("double").alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).cast("double").alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).cast("double").alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + top-10 (broadcast dim)."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            F.round("revenue", 4).alias("revenue"),
+        )
+    )
+
+
+def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join snowflake + regional agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .select("n_name", F.round("revenue", 4).alias("revenue"), "n_items")
+        .orderBy(F.desc("revenue"))
+    )
+
+
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per customer (window row_number <= k)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + gap>30min cumsum; per-session rollup."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the NTZ->TZ cast is
+    # identity and epoch seconds agree with DuckDB's epoch()
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gapped = ev.withColumn(
+        "new_session",
+        F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0),
+    ).withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        gapped.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+    )
+
+
+# -- StudiOCR parity over the documents token table -------------------------
+
+def a1_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: word frequency per doc (OcrPageData.py:36-38 shape)."""
+    return (
+        _blocks(spark, sf_dir)
+        .groupBy("doc_id", "text")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def a2_unique_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: sorted distinct words per doc, joined for portability."""
+    return (
+        _blocks(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("text")), ",").alias(
+                "unique_words"
+            ),
+            F.count_distinct("text").alias("n_unique"),
+        )
+    )
+
+
+def a5_ascii_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: corpus-wide dense ASCII 32-126 histogram (zero-filled bins)."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("ch")
+        .agg(F.count("*").alias("n"))
+    )
+    domain = spark.range(32, 127).select(
+        F.col("id").cast("int").alias("code"), F.char(F.col("id")).alias("ch")
+    )
+    return (
+        domain.join(counts, "ch", "left")
+        .select("code", F.coalesce("n", F.lit(0)).alias("n"))
+        .orderBy("code")
+    )
+
+
+def a6_conf_by_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per (doc, text) the sorted distinct conf set, joined."""
+    return (
+        _blocks(spark, sf_dir)
+        .groupBy("doc_id", "text")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set(F.col("conf").cast("string"))), ","
+            ).alias("confs_lex"),
+            F.count_distinct("conf").alias("n_confs"),
+        )
+    )
+
+
+def a7_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 shape: child count per parent (len(doc.pages))."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+def j3_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: docs where ANY query word is a SUBSTRING of any token."""
+    b = _blocks(spark, sf_dir)
+    cond = None
+    for wd in SEARCH_WORDS:
+        c = F.lower(F.col("text")).contains(wd)
+        cond = c if cond is None else (cond | c)
+    return b.filter(cond).select("doc_id").distinct().orderBy("doc_id")
+
+
+def j4_indoc_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: per-doc match count, a block counted once PER matching word."""
+    b = _blocks(spark, sf_dir)
+    words = spark.createDataFrame(
+        [(w,) for w in SEARCH_WORDS], "word string"
+    )
+    return (
+        b.join(
+            F.broadcast(words),
+            F.lower(F.col("text")).contains(F.col("word")),
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matches"))
+    )
+
+
+def j5_name_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: substring match on a name-like column, ci, sorted."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn(
+            "name", F.concat(F.col("source"), F.lit("-doc"),
+                             F.col("doc_id").cast("string"))
+        )
+        .filter(F.lower(F.col("name")).contains("rc1-doc1"))
+        .select("doc_id", "name")
+        .orderBy(F.lower(F.col("name")))
+    )
+
+
+def f6_conf_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: conf -> green/blue/red classification counts."""
+    from studiocr_spark.operators.search import conf_color
+
+    return (
+        _blocks(spark, sf_dir)
+        .withColumn("color", conf_color(F.col("conf")))
+        .groupBy("color")
+        .agg(F.count("*").alias("n"))
+        .orderBy("color")
+    )
+
+
+def w5_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/W5: first/next/prev matched doc around a pivot."""
+    matched = j3_keyword_search(spark, sf_dir)
+    return matched.agg(
+        F.min("doc_id").alias("first"),
+        F.min(F.when(F.col("doc_id") > NAV_CURRENT, F.col("doc_id"))).alias(
+            "next"
+        ),
+        F.max(F.when(F.col("doc_id") < NAV_CURRENT, F.col("doc_id"))).alias(
+            "prev"
+        ),
+    )
+
+
+def w6_first_doc_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6/S8: first child per parent via min_by (thumbnail shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.min("doc_id").alias("first_doc"),
+        F.min_by("n_chars", "doc_id").alias("first_chars"),
+    )
+
+
+def j7_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/A10: Levenshtein-tolerance accuracy, docs 0-9 text vs doc 10."""
+    from studiocr_spark.operators.eval import accuracy_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = (
+        docs.filter(F.col("doc_id") < 10)
+        .select(
+            F.lit("eval").alias("url"),
+            F.explode(F.split("text", " ")).alias("word"),
+        )
+    )
+    exp = (
+        docs.filter(F.col("doc_id") == 10)
+        .select(
+            F.lit("eval").alias("url"),
+            F.explode(F.split("text", " ")).alias("word"),
+        )
+    )
+    out = accuracy_scores(pred, exp, tol=1)
+    return out.select(
+        "url", "n_correct", "n_expected", F.round("score", 6).alias("score")
+    )
+
+
+# -- training-data ops ------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from studiocr_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from studiocr_spark.operators.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(
+        _t(spark, sf_dir, "documents"), threshold=0.3
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from studiocr_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), bits=16)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from studiocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.3, max_doc_freq=50
+    )
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from studiocr_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = brute_force_topk(queries, emb, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 3).alias("cosine"), "rank"
+    )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (rows-only: recall is algorithm-defined)."""
+    from studiocr_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return lsh_topk(queries, emb, dim=64, k=5, n_planes=6)
+
+
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (rows-only: LSH-blocked)."""
+    from studiocr_spark.operators.similarity import embedding_near_dups as nd
+
+    return nd(_t(spark, sf_dir, "embeddings"), dim=64, threshold=0.35,
+              n_planes=4)
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from studiocr_spark.operators.textstats import lang_id as _lang_id
+
+    return _lang_id(_t(spark, sf_dir, "documents"))
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from studiocr_spark.operators.textstats import quality_scores as qs
+
+    return qs(_t(spark, sf_dir, "documents"))
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from studiocr_spark.operators.textstats import token_counts as tc
+
+    return tc(_t(spark, sf_dir, "documents"))
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from studiocr_spark.operators.textstats import fingerprints
+
+    return fingerprints(_t(spark, sf_dir, "documents"))
+
+
+# -- extract pipeline (not SQL-expressible: rows-only checks) ---------------
+
+def extract_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OCR extract UDF chain on a generated 60-doc corpus."""
+    from studiocr_spark.gen import generate_pages
+    from studiocr_spark.operators.extract import blocks_from_raw, extract_raw
+    from studiocr_spark.session import ship_package
+
+    ship_package(spark)
+    pages = generate_pages(spark, 60, partitions=4)
+    raw = extract_raw(pages, backend="bitmap")
+    return blocks_from_raw(raw.filter(F.col("error").isNull()))
+
+
+def extract_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed page_stats structs on a generated corpus (rows-only)."""
+    from studiocr_spark.gen import generate_pages
+    from studiocr_spark.operators.extract import extract_raw
+    from studiocr_spark.operators.stats import page_stats_from_raw
+    from studiocr_spark.session import ship_package
+
+    ship_package(spark)
+    pages = generate_pages(spark, 60, partitions=4)
+    raw = extract_raw(pages, backend="bitmap").filter(
+        F.col("error").isNull()
+    )
+    return page_stats_from_raw(raw).select(
+        "url",
+        "page_no",
+        F.col("page_stats.unique_texts").alias("unique_texts"),
+        F.col("page_stats.ascii_histogram").alias("ascii_histogram"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_supplier_volume": q5_supplier_volume,
+        "topk_orders_per_customer": topk_orders_per_customer,
+        "sessionize_events": sessionize_events,
+        "a1_word_counts": a1_word_counts,
+        "a2_unique_words": a2_unique_words,
+        "a5_ascii_histogram": a5_ascii_histogram,
+        "a6_conf_by_text": a6_conf_by_text,
+        "a7_docs_per_source": a7_docs_per_source,
+        "j3_keyword_search": j3_keyword_search,
+        "j4_indoc_matches": j4_indoc_matches,
+        "j5_name_search": j5_name_search,
+        "f6_conf_colors": f6_conf_colors,
+        "w5_navigation": w5_navigation,
+        "w6_first_doc_per_source": w6_first_doc_per_source,
+        "j7_accuracy": j7_accuracy,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "embedding_near_dups": embedding_near_dups,
+        "lang_id": lang_id,
+        "quality_scores": quality_scores,
+        "token_counts": token_counts,
+        "doc_fingerprints": doc_fingerprints,
+        "extract_blocks": extract_blocks,
+        "extract_page_stats": extract_page_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    words_pred = " OR ".join(
+        f"contains(lower(text), '{w}')" for w in SEARCH_WORDS
+    )
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+                   CAST(sum(l_extendedprice) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS sum_disc_price,
+                   CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE) AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+                   round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < DATE '1995-03-15'
+              AND l_shipdate > DATE '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+            LIMIT 10
+        """,
+        "q5_supplier_volume": """
+            SELECT n_name,
+                   round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+            GROUP BY n_name
+            ORDER BY revenue DESC
+        """,
+        "topk_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey)
+                       AS rank
+              FROM orders) WHERE rank <= 3
+        """,
+        "sessionize_events": """
+            WITH gapped AS (
+              SELECT user_id, value, ts, event_id,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sessions AS (
+              SELECT user_id, value,
+                     sum(new_session) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_no
+              FROM gapped
+            )
+            SELECT user_id, session_no, count(*) AS n_events,
+                   round(sum(value), 4) AS session_value
+            FROM sessions GROUP BY user_id, session_no
+        """,
+        "a1_word_counts": f"""
+            SELECT doc_id, text, count(*) AS n
+            FROM ({_BLOCKS_SQL}) GROUP BY doc_id, text
+        """,
+        "a2_unique_words": f"""
+            SELECT doc_id,
+                   string_agg(DISTINCT text, ',' ORDER BY text) AS unique_words,
+                   count(DISTINCT text) AS n_unique
+            FROM ({_BLOCKS_SQL}) GROUP BY doc_id
+        """,
+        "a5_ascii_histogram": """
+            WITH chars AS (
+              SELECT unnest(string_split(text, '')) AS ch FROM documents
+            ), counts AS (
+              SELECT ch, count(*) AS n FROM chars GROUP BY ch
+            ), domain AS (
+              SELECT range AS code, chr(CAST(range AS INT)) AS ch
+              FROM range(32, 127)
+            )
+            SELECT code, coalesce(n, 0) AS n
+            FROM domain LEFT JOIN counts USING (ch) ORDER BY code
+        """,
+        "a6_conf_by_text": f"""
+            SELECT doc_id, text,
+                   string_agg(DISTINCT CAST(conf AS VARCHAR), ','
+                              ORDER BY CAST(conf AS VARCHAR)) AS confs_lex,
+                   count(DISTINCT conf) AS n_confs
+            FROM ({_BLOCKS_SQL}) GROUP BY doc_id, text
+        """,
+        "a7_docs_per_source": """
+            SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            FROM documents GROUP BY source
+        """,
+        "j3_keyword_search": f"""
+            SELECT DISTINCT doc_id FROM ({_BLOCKS_SQL})
+            WHERE {words_pred} ORDER BY doc_id
+        """,
+        "j4_indoc_matches": f"""
+            SELECT doc_id, count(*) AS n_matches
+            FROM ({_BLOCKS_SQL}) b
+            JOIN (SELECT unnest({SEARCH_WORDS!r}) AS word) w
+              ON contains(lower(b.text), w.word)
+            GROUP BY doc_id
+        """,
+        "j5_name_search": """
+            SELECT doc_id, source || '-doc' || CAST(doc_id AS VARCHAR) AS name
+            FROM documents
+            WHERE contains(lower(source || '-doc' || CAST(doc_id AS VARCHAR)),
+                           'rc1-doc1')
+            ORDER BY lower(name)
+        """,
+        "f6_conf_colors": f"""
+            SELECT CASE WHEN conf >= 80 THEN 'green'
+                        WHEN conf >= 40 THEN 'blue'
+                        ELSE 'red' END AS color,
+                   count(*) AS n
+            FROM ({_BLOCKS_SQL}) GROUP BY 1 ORDER BY color
+        """,
+        "w5_navigation": f"""
+            WITH matched AS (
+              SELECT DISTINCT doc_id FROM ({_BLOCKS_SQL}) WHERE {words_pred}
+            )
+            SELECT min(doc_id) AS first,
+                   min(CASE WHEN doc_id > {NAV_CURRENT} THEN doc_id END) AS next,
+                   max(CASE WHEN doc_id < {NAV_CURRENT} THEN doc_id END) AS prev
+            FROM matched
+        """,
+        "w6_first_doc_per_source": """
+            SELECT source, min(doc_id) AS first_doc,
+                   min_by(n_chars, doc_id) AS first_chars
+            FROM documents GROUP BY source
+        """,
+        "j7_accuracy": """
+            WITH pred_rows AS (
+              SELECT 'eval' AS url, unnest(string_split(text, ' ')) AS pred
+              FROM documents WHERE doc_id < 10
+            ), pred AS (
+              -- row_number must run AFTER the unnest expansion: one id
+              -- per predicted word INSTANCE (reference iterates preds)
+              SELECT url, pred, row_number() OVER () AS pred_id
+              FROM pred_rows
+            ), exp AS (
+              SELECT DISTINCT 'eval' AS url,
+                     unnest(string_split(text, ' ')) AS exp
+              FROM documents WHERE doc_id = 10
+            ), per_pred AS (
+              SELECT p.url, p.pred_id,
+                     max(CASE WHEN (length(p.pred) <= 3 AND p.pred = e.exp)
+                               OR levenshtein(p.pred, e.exp) <= 1
+                          THEN 1 ELSE 0 END) AS correct
+              FROM pred p JOIN exp e USING (url)
+              GROUP BY p.url, p.pred_id
+            ), n_exp AS (
+              SELECT url, count(*) AS n_expected FROM exp GROUP BY url
+            )
+            SELECT per.url AS url, sum(per.correct) AS n_correct,
+                   any_value(n_exp.n_expected) AS n_expected,
+                   round(sum(per.correct) / any_value(n_exp.n_expected), 6)
+                     AS score
+            FROM per_pred per JOIN n_exp ON per.url = n_exp.url
+            GROUP BY per.url
+        """,
+        "dedup_exact": """
+            SELECT d.doc_id, c.canonical_id,
+                   d.doc_id != c.canonical_id AS is_duplicate
+            FROM documents d
+            JOIN (SELECT text, min(doc_id) AS canonical_id
+                  FROM documents GROUP BY text) c
+              ON d.text = c.text
+        """,
+        "dedup_minhash_lsh": _minhash_oracle(),
+        "dedup_simhash": _simhash_oracle(),
+        "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
+        "ann_cosine_topk": """
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.embedding, c.embedding)
+                       AS cos_raw
+              FROM embeddings q JOIN embeddings c
+                ON q.vec_id < 8 AND q.vec_id != c.vec_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, cos_raw,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_raw DESC, neighbor_id)
+                       AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, round(cos_raw, 3) AS cosine, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "lang_id": _lang_id_oracle(),
+        "quality_scores": _quality_oracle(),
+        "token_counts": r"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x != '')) AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
+                   length(text) AS n_chars_seen
+            FROM documents
+        """,
+        "doc_fingerprints": """
+            WITH grams AS (
+              SELECT doc_id,
+                     [md5(substring(text, i, 5))
+                      FOR i IN range(1, greatest(length(text) - 4, 1) + 1)]
+                       AS hs
+              FROM documents
+            )
+            SELECT doc_id,
+                   array_to_string(list_sort(hs)[1:4], '') AS fingerprint
+            FROM grams
+        """,
+    }
+
+
+def _minhash_oracle(
+    n_hashes: int = 8, rows_per_band: int = 2, threshold: float = 0.3
+) -> str:
+    """DuckDB transcription of the MinHash-LSH pipeline (word 2-shingles,
+    md5 min-hashing, banded buckets, exact Jaccard verification)."""
+    return f"""
+        WITH ws AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 CASE WHEN i + 1 <= len(w) THEN w[i] || ' ' || w[i + 1]
+                      ELSE w[i] END AS shingle
+          FROM ws, LATERAL (SELECT unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i)
+        ), seeds AS (
+          SELECT unnest(range(0, {n_hashes})) AS seed
+        ), mh AS (
+          SELECT doc_id, seed,
+                 min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+          FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+        ), bands AS (
+          SELECT doc_id, CAST(seed / {rows_per_band} AS INT) AS band,
+                 string_agg(minhash, ',' ORDER BY seed) AS band_key
+          FROM mh GROUP BY doc_id, CAST(seed / {rows_per_band} AS INT)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        ), verified AS (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.shs, sb.shs))) AS j
+          FROM cand c
+          JOIN (SELECT doc_id, list(shingle) AS shs FROM sh GROUP BY doc_id) sa
+            ON sa.doc_id = c.doc_a
+          JOIN (SELECT doc_id, list(shingle) AS shs FROM sh GROUP BY doc_id) sb
+            ON sb.doc_id = c.doc_b
+        )
+        SELECT doc_a, doc_b, round(j, 6) AS jaccard
+        FROM verified WHERE j >= {threshold}
     """
-    return {}
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    """Per-bit majority simhash; hex-digit parity == the Spark conv()%2."""
+    bit_terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN strpos('13579bdf', substring(h, {b + 1}, 1)) > 0 "
+        f"THEN 1 ELSE -1 END) > 0 THEN {2 ** b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+        WITH words AS (
+          SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+          FROM documents
+        )
+        SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash
+        FROM words GROUP BY doc_id
+    """
+
+
+def _ngram_jaccard_oracle(
+    threshold: float = 0.3, max_doc_freq: int = 50
+) -> str:
+    return f"""
+        WITH ws AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 CASE WHEN i + 1 <= len(w) THEN w[i] || ' ' || w[i + 1]
+                      ELSE w[i] END AS shingle
+          FROM ws, LATERAL (SELECT unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i)
+        ), rare AS (
+          SELECT shingle FROM sh GROUP BY shingle
+          HAVING count(*) <= {max_doc_freq}
+        ), blocked AS (SELECT sh.* FROM sh JOIN rare USING (shingle)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM blocked a JOIN blocked b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ), verified AS (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.shs, sb.shs))) AS j
+          FROM cand c
+          JOIN (SELECT doc_id, list(shingle) AS shs FROM sh GROUP BY doc_id) sa
+            ON sa.doc_id = c.doc_a
+          JOIN (SELECT doc_id, list(shingle) AS shs FROM sh GROUP BY doc_id) sb
+            ON sb.doc_id = c.doc_b
+        )
+        SELECT doc_a, doc_b, round(j, 6) AS jaccard
+        FROM verified WHERE j >= {threshold}
+    """
+
+
+_SW = {
+    "en": ["the", "a", "is", "of", "and", "to", "in", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "ein"],
+}
+
+
+def _lang_id_oracle() -> str:
+    ratios = ",\n".join(
+        f"CAST(len(list_filter(ws, x -> list_contains({_SW[lang]!r}, lower(x)))) AS DOUBLE)"
+        f" / greatest(len(ws), 1) AS score_{lang}"
+        for lang in sorted(_SW)
+    )
+    langs = sorted(_SW)
+    best = f"greatest({', '.join('score_' + lang for lang in langs)})"
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = (
+            f"CASE WHEN {best} > 0 AND score_{lang} = {best} "
+            f"THEN '{lang}' ELSE {pred} END"
+        )
+    return rf"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x != '') AS ws
+          FROM documents
+        ), scored AS (SELECT doc_id, {ratios} FROM w)
+        SELECT doc_id, {pred} AS pred_lang, floor({best} * 1e6 + 0.5) / 1e6 AS lang_score
+        FROM scored
+    """
+
+
+def _quality_oracle() -> str:
+    en = _SW["en"]
+    return rf"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x != '') AS ws,
+                 greatest(length(text), 1) AS n_chars,
+                 length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                   AS punct,
+                 length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                   AS digits,
+                 length(regexp_replace(text, '\s+', '', 'g')) AS wchars
+          FROM documents
+        ), m AS (
+          SELECT doc_id, len(ws) AS n_words,
+                 CAST(wchars AS DOUBLE) / greatest(len(ws), 1) AS mean_wl,
+                 CAST(punct AS DOUBLE) / n_chars AS punct_r,
+                 CAST(digits AS DOUBLE) / n_chars AS digit_r,
+                 CAST(len(list_filter(ws, x -> list_contains({en!r}, lower(x))))
+                      AS DOUBLE) / greatest(len(ws), 1) AS sw
+          FROM base
+        )
+        SELECT doc_id, n_words,
+               floor(mean_wl * 1e6 + 0.5) / 1e6 AS mean_word_len,
+               floor(punct_r * 1e6 + 0.5) / 1e6 AS punct_ratio,
+               floor(digit_r * 1e6 + 0.5) / 1e6 AS digit_ratio,
+               floor(sw * 1e6 + 0.5) / 1e6 AS stopword_ratio,
+               floor((0.4 * least(sw * 4, 1.0)
+                     + 0.3 * least(greatest(mean_wl - 2, 0.0) / 4, 1.0)
+                     + 0.2 * (1 - least(punct_r * 5, 1.0))
+                     + 0.1 * (1 - least(digit_r * 5, 1.0))) * 1e6 + 0.5)
+                 / 1e6 AS quality
+        FROM m
+    """

@@ -1,0 +1,120 @@
+"""Benchmark harness: headline queries + extract throughput, one JSON line.
+
+Runs on ``local[$SPARK_GRAFT_CPUS]`` against ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1). Query results are forced with the noop
+writer (full execution, no driver collect cost). The extract benchmark
+generates a deterministic pages corpus (size scaled off the sf dir),
+persists it, then times read -> Arrow OCR decode -> blocks+stats ->
+noop; docs/sec is the BASELINE.json headline metric. Scaling-efficiency
+evidence across parallelism levels is produced by tools/bench_scaling.py
+(writes BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "3000"))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_supplier_volume",
+    "topk_orders_per_customer",
+    "sessionize_events",
+    "a1_word_counts",
+    "a5_ascii_histogram",
+    "j3_keyword_search",
+    "j4_indoc_matches",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "lang_id",
+    "quality_scores",
+    "token_counts",
+    "doc_fingerprints",
+]
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+
+    from studiocr_spark.gen import write_pages
+    from studiocr_spark.operators.extract import blocks_from_raw, extract_raw
+    from studiocr_spark.operators.stats import page_stats_from_raw
+    from studiocr_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="studiocr-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 8),
+    )
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        _force(qs[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    # extract throughput: corpus materialized first, timing covers
+    # read -> decode UDF -> blocks + page_stats
+    corpus_dir = os.path.join(tempfile.gettempdir(), f"bench_pages_{EXTRACT_DOCS}")
+    if not os.path.exists(corpus_dir):
+        write_pages(spark, EXTRACT_DOCS, corpus_dir, partitions=CPUS * 2)
+    pages = spark.read.parquet(corpus_dir)
+    t0 = time.time()
+    raw = extract_raw(pages, backend="bitmap", num_partitions=CPUS * 2)
+    from pyspark.sql import functions as F
+
+    ok = raw.filter(F.col("error").isNull())
+    _force(blocks_from_raw(ok))
+    _force(
+        page_stats_from_raw(ok).select(
+            "url", "page_no", "page_text", "page_stats"
+        )
+    )
+    extract_sec = time.time() - t0
+    timings["extract_pipeline"] = round(extract_sec, 3)
+    docs_per_sec = EXTRACT_DOCS / extract_sec
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "extract": {
+                    "docs": EXTRACT_DOCS,
+                    "sec": round(extract_sec, 3),
+                    "docs_per_sec": round(docs_per_sec, 2),
+                },
+            }
+        )
+    )
+    spark.stop()
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,29 @@ GLYPHS: dict[int, np.ndarray] = {
 _REVERSE: dict[bytes, int] = {g.tobytes(): c for c, g in GLYPHS.items()}
 assert len(_REVERSE) == ASCII_HI - ASCII_LO + 1, "glyph collision"
 
+# vectorized decode support: 35-bit integer key per glyph bit-pattern
+_POW2 = (1 << np.arange(GLYPH_W * GLYPH_H, dtype=np.uint64))
+_REVERSE_INT: dict[int, str] = {
+    int(((g.reshape(-1) != 0).astype(np.uint64) * _POW2).sum()): chr(c)
+    for c, g in GLYPHS.items()
+}
+assert len(_REVERSE_INT) == len(GLYPHS), "glyph int-key collision"
+
+
+def _cell_keys(img: np.ndarray) -> np.ndarray:
+    """All cell bit-pattern keys of a page image, row-major (vectorized)."""
+    n_rows = (img.shape[0] - 2 * MARGIN) // CELL_H
+    area = img[
+        MARGIN : MARGIN + n_rows * CELL_H,
+        MARGIN : MARGIN + LINE_CHARS * CELL_W,
+    ]
+    cells = (
+        area.reshape(n_rows, CELL_H, LINE_CHARS, CELL_W)
+        .transpose(0, 2, 1, 3)[:, :, :GLYPH_H, :GLYPH_W]
+        .reshape(n_rows * LINE_CHARS, GLYPH_H * GLYPH_W)
+    )
+    return ((cells != 0).astype(np.uint64) * _POW2).sum(axis=1)
+
 
 def word_conf(word: str) -> int:
     """Deterministic per-word pseudo-confidence in [0, 100].
@@ -88,27 +111,15 @@ def render_page(text: str) -> bytes:
 
 
 def decode_page_text(png: bytes) -> str:
-    """Exact inverse of :func:`render_page`."""
-    img = decode_png(png)
-    h, w = img.shape
-    n_rows = (h - 2 * MARGIN) // CELL_H
-    chars: list[str] = []
-    done = False
-    for r in range(n_rows):
-        for c in range(LINE_CHARS):
-            y = MARGIN + r * CELL_H
-            x = MARGIN + c * CELL_W
-            cell = img[y : y + GLYPH_H, x : x + GLYPH_W]
-            if not cell.any():  # tail padding
-                done = True
-                break
-            chars.append(chr(_REVERSE[cell.tobytes()]))
-        if done:
-            break
-    return "".join(chars)
+    """Exact inverse of :func:`render_page` (vectorized cell decode)."""
+    keys = _cell_keys(decode_png(png))
+    nz = keys != 0
+    end = len(keys) if nz.all() else int(np.argmin(nz))
+    rev = _REVERSE_INT
+    return "".join([rev[int(k)] for k in keys[:end]])
 
 
-def page_image_to_data(png: bytes) -> dict[str, list]:
+def page_image_to_data(png: bytes, text: str | None = None) -> dict[str, list]:
     """OCR a rendered page into an ``image_to_data``-shaped dict.
 
     Output mirrors pytesseract's parallel arrays (the keys the reference
@@ -116,8 +127,11 @@ def page_image_to_data(png: bytes) -> dict[str, list]:
     row, then per text line a line-level structural row followed by the
     line's word rows (a word is assigned to the line its first char is on;
     a wrapped word's box spans the full wrapped region).
+
+    ``text`` may be passed when already decoded (avoids a second decode).
     """
-    text = decode_page_text(png)
+    if text is None:
+        text = decode_page_text(png)
     img_h = 2 * MARGIN + max((len(text) + LINE_CHARS - 1) // LINE_CHARS, 1) * CELL_H
     img_w = 2 * MARGIN + LINE_CHARS * CELL_W
     out: dict[str, list] = {k: [] for k in ("left", "top", "width", "height", "conf", "text")}

@@ -1,0 +1,298 @@
+"""Deduplication family for web-scale corpora.
+
+All variants are pure DataFrame compositions (no UDFs), deterministic,
+and DuckDB-expressible for the oracle gate:
+
+- exact: content-identity grouping (keep the smallest doc_id)
+- MinHash + LSH: word-shingle -> per-seed min-digest signature -> banded
+  bucket join -> exact-Jaccard verification of candidates
+- SimHash: per-bit majority over token digests -> near-dup by Hamming
+  distance
+- n-gram Jaccard: inverted shingle join with a document-frequency cap on
+  hot shingles (the skew guard), then exact Jaccard
+
+Scale notes: LSH band join and shingle join are the shuffle-heavy steps;
+both shuffle on digest-like keys (uniform by construction) except real-
+world hot shingles, which the DF cap drops explicitly (and ``log()``-ably)
+rather than letting one reducer melt. Signatures use md5 (stable across
+engines) rather than xxhash64 (Spark-private seed mixing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import words_of
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, canonical_id, is_duplicate): group by exact content.
+
+    Hash-groupBy on the text; canonical = min doc_id of the group. At
+    scale, group on xxhash64(text) first and verify text equality within
+    groups; here text is the grouping key directly (collision-free).
+    """
+    canon = docs.groupBy(text_col).agg(F.min("doc_id").alias("canonical_id"))
+    return (
+        docs.join(canon, text_col)
+        .select(
+            "doc_id",
+            "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
+
+
+def word_shingles(text_col: Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles of a text."""
+    words = words_of(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        )
+    )
+
+
+def shingle_table(docs: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
+    """(doc_id, shingle) exploded distinct shingles."""
+    return docs.select(
+        "doc_id", F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", n: int = 2, num_hashes: int = 8
+) -> DataFrame:
+    """(doc_id, seed, minhash): per-seed min over md5(seed|shingle).
+
+    Narrow: the min runs inside a higher-order aggregate over the
+    per-doc shingle array — no explode, no shuffle.
+    """
+    shingles = word_shingles(F.col(text_col), n)
+    rows = []
+    for seed in range(num_hashes):
+        rows.append(
+            F.array_min(
+                F.transform(
+                    shingles,
+                    lambda s, seed=seed: F.md5(
+                        F.concat(F.lit(f"{seed}|"), s)
+                    ),
+                )
+            ).alias(f"mh_{seed}")
+        )
+    sig = docs.select("doc_id", *rows)
+    return sig.selectExpr(
+        "doc_id",
+        "stack({n}, {pairs}) as (seed, minhash)".format(
+            n=num_hashes,
+            pairs=", ".join(f"{s}, mh_{s}" for s in range(num_hashes)),
+        ),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, rows_per_band: int = 2
+) -> DataFrame:
+    """(doc_a, doc_b) sharing at least one LSH band bucket.
+
+    Band key = ordered concat of the band's minhashes; self-equi-join on
+    (band, key) — uniform md5 keys, so the shuffle is skew-free by
+    construction.
+    """
+    banded = (
+        signatures.withColumn(
+            "band", (F.col("seed") / rows_per_band).cast("int")
+        )
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s["minhash"],
+                ),
+                ",",
+            ).alias("band_key")
+        )
+    )
+    a = banded.select("band", "band_key", F.col("doc_id").alias("doc_a"))
+    b = banded.select("band", "band_key", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs; keep >= threshold.
+
+    (doc_a, doc_b, jaccard). Joins the (small) candidate set against the
+    per-doc shingle arrays twice — broadcastable when candidates are few.
+    """
+    sh = docs.select(
+        "doc_id", word_shingles(F.col(text_col), n).alias("sh")
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a")
+                     .withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b")
+                .withColumnRenamed("sh", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup pairs (verified Jaccard)."""
+    sig = minhash_signatures(docs, text_col, n, num_hashes)
+    cand = lsh_candidate_pairs(sig, rows_per_band)
+    return jaccard_verify(cand, docs, text_col, n, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """(doc_id, simhash): per-bit majority vote over token md5 digests.
+
+    Bit b of token t = parity of hex digit b of md5(t) (one digit per
+    bit, so bits <= 32). simhash bit b is set iff sum over tokens of
+    (+1/-1) is positive. Portable: identical arithmetic in DuckDB.
+    """
+    if bits > 32:
+        raise ValueError("bits must be <= 32 (one hex digit per bit)")
+    words = words_of(F.col(text_col))
+    hashes = F.transform(words, F.md5)
+
+    def _vote(b: int):
+        # closure factory: a `b=b` default would change the lambda's arity
+        # and PySpark would treat it as a 3-arg merge function
+        def fold(acc, h):
+            return acc + F.when(
+                F.conv(F.substring(h, b + 1, 1), 16, 10).cast("int") % 2 == 1,
+                1,
+            ).otherwise(-1)
+
+        return fold
+
+    bit_cols = []
+    for b in range(bits):
+        votes = F.aggregate(hashes, F.lit(0), _vote(b))
+        bit_cols.append(
+            F.when(votes > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        )
+    total = bit_cols[0]
+    for c in bit_cols[1:]:
+        total = total + c
+    return docs.select("doc_id", total.cast("long").alias("simhash"))
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs within Hamming distance.
+
+    Pairs are blocked by half-signature bands (a pair within distance d
+    shares at least one exact half when d < 2), then verified with
+    bit_count(xor). For the small oracle corpora the verification join is
+    the whole cost; at scale the band join prunes the quadratic space.
+    """
+    sh = simhash(docs, text_col, bits)
+    half = bits // 2
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        (F.col("simhash") % (2 ** half)).alias("lo"),
+        (F.col("simhash") / (2 ** half)).cast("long").alias("hi"),
+    )
+    lo_pairs = banded.alias("a").join(
+        banded.alias("b"), F.col("a.lo") == F.col("b.lo")
+    )
+    hi_pairs = banded.alias("a").join(
+        banded.alias("b"), F.col("a.hi") == F.col("b.hi")
+    )
+    cand = (
+        lo_pairs.unionByName(hi_pairs)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.5,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Near-dup pairs via shared-shingle blocking + exact Jaccard.
+
+    ``max_doc_freq`` drops shingles appearing in more docs — the
+    explicit skew guard: a stopword shingle in 10^9 docs would otherwise
+    create a quadratic join partition.
+    """
+    sh = shingle_table(docs, text_col, n)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_doc_freq)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(rare), "shingle")
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return jaccard_verify(pairs, docs, text_col, n, threshold)

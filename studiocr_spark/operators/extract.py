@@ -28,7 +28,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..schemas import OCR_BLOCKS_SCHEMA
+from ..functions.pagestats import compute_page_stats
+from ..schemas import OCR_BLOCKS_SCHEMA, PAGE_STATS_SCHEMA
 from ..sources.decode import get_decoder
 
 # one row per *page*: url, page_no, stored image, exact page text, and the
@@ -53,6 +54,8 @@ EXTRACT_SCHEMA = T.StructType(
         T.StructField("image", T.BinaryType(), True),
         T.StructField("page_text", T.StringType(), True),
         T.StructField("raw", T.ArrayType(RAW_ROW_SCHEMA), True),
+        # typed OcrPageData, computed in-UDF (functions/pagestats.py)
+        T.StructField("page_stats", PAGE_STATS_SCHEMA, True),
         # non-null => the payload failed to decode; the row is a quarantine
         # marker (page_no=-1, raw=[]) so one corrupt page can never fail a
         # 100 TB job, and failures stay auditable (see quarantine()).
@@ -92,9 +95,8 @@ def extract_raw(
         raise ValueError("errors must be 'skip' or 'fail'")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.glyphs import decode_page_text
-
-        cols = ["url", "page_no", "image", "page_text", "raw", "error"]
+        cols = ["url", "page_no", "image", "page_text", "raw", "page_stats",
+                "error"]
         for pdf in batches:
             out: list[dict] = []
             for url, html in zip(pdf["url"], pdf["html"]):
@@ -112,11 +114,12 @@ def extract_raw(
                             "image": None,
                             "page_text": None,
                             "raw": [],
+                            "page_stats": None,
                             "error": f"{type(exc).__name__}: {exc}",
                         }
                     )
                     continue
-                for page_no, (png, data) in enumerate(decoded):
+                for page_no, (png, data, decoded_text) in enumerate(decoded):
                     raw = [
                         {
                             "block_no": i,
@@ -129,11 +132,11 @@ def extract_raw(
                         }
                         for i in range(len(data["text"]))
                     ]
-                    # page text = the non-structural tokens joined; for the
-                    # bitmap backend we keep the exact decoded grid text to
-                    # honor the byte-identical contract.
-                    if backend == "bitmap":
-                        page_text = decode_page_text(png)
+                    # backends with an exact-text notion (bitmap) supply it
+                    # directly (byte-identical contract); otherwise the page
+                    # text is the non-structural tokens joined.
+                    if decoded_text is not None:
+                        page_text = decoded_text
                     else:
                         page_text = page_text_join.join(
                             t for t in data["text"] if t and not t.isspace()
@@ -145,6 +148,7 @@ def extract_raw(
                             "image": png,
                             "page_text": page_text,
                             "raw": raw,
+                            "page_stats": compute_page_stats(data),
                             "error": None,
                         }
                     )
@@ -212,11 +216,9 @@ def run_extract(
     ``ocr_pages`` carries page_stats computed shuffle-free from the raw
     array column (operators/stats.py).
     """
-    from .stats import page_stats_from_raw
-
     raw = extract_raw(pages, backend=backend, num_partitions=num_partitions)
     ok = raw.filter(F.col("error").isNull())
-    ocr_pages = page_stats_from_raw(ok).select(
+    ocr_pages = ok.select(
         "url", "page_no", "image", "page_text", "page_stats"
     )
     ocr_blocks = blocks_from_raw(ok).select(*OCR_BLOCKS_SCHEMA.fieldNames())

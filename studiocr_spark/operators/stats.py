@@ -77,7 +77,15 @@ def page_stats_expr(raw: Column) -> Column:
 
 
 def page_stats_from_raw(raw_df: DataFrame) -> DataFrame:
-    """Attach the typed page_stats struct to each extracted page row."""
+    """Page rows with the typed page_stats struct.
+
+    The extract UDF already computes page_stats in-UDF (measured ~1000x
+    cheaper than the HOF recompute — see functions/pagestats.py); this
+    passes it through when present and only falls back to the declarative
+    expression for raw tables stored without it.
+    """
+    if "page_stats" in raw_df.columns:
+        return raw_df
     return raw_df.withColumn("page_stats", page_stats_expr(F.col("raw")))
 
 

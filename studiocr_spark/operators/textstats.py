@@ -1,0 +1,155 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond the reference's surface (SURVEY §2 covers parity ops); these are
+the standard large-corpus curation primitives, all built from JVM-side
+``pyspark.sql.functions`` — zero Python in the hot path, every one
+SQL-expressible for the DuckDB oracle:
+
+- token counting (whitespace + a BPE-ish subword regex)
+- language ID (stopword-ratio n-gram-free heuristic)
+- quality scoring (length / punctuation / stopword / digit ratios)
+- document fingerprinting (bottom-k sketch of char n-gram hashes — a
+  deterministic winnowing-style rolling fingerprint)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword inventories (deterministic, ASCII)
+STOPWORDS = {
+    "en": ["the", "a", "is", "of", "and", "to", "in", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "ein"],
+}
+
+# BPE-ish subword splitter: word-ish runs, numbers, or single punctuation
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def round6(col: Column) -> Column:
+    """Engine-portable 6-dp rounding: floor(x*1e6 + 0.5)/1e6.
+
+    Spark's round() is HALF_UP, DuckDB's is HALF_EVEN — values landing
+    exactly on a half (e.g. 0.5203125) diverge. floor arithmetic is
+    identical in both engines on identical doubles.
+    """
+    return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+
+
+def words_of(text_col: Column) -> Column:
+    """Whitespace tokenization matching Python str.split() (drops empties)."""
+    return F.filter(
+        F.split(F.trim(text_col), r"\s+"), lambda w: w != ""
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens, n_chars_seen)."""
+    return docs.select(
+        "doc_id",
+        F.size(words_of(F.col(text_col))).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0))
+        .alias("n_bpe_tokens"),
+        F.length(text_col).alias("n_chars_seen"),
+    )
+
+
+def _stopword_ratio(words: Column, lang: str) -> Column:
+    hits = F.size(
+        F.filter(
+            words, lambda w: F.lower(w).isin([s for s in STOPWORDS[lang]])
+        )
+    )
+    return hits / F.greatest(F.size(words), F.lit(1))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang, lang_score) — argmax stopword ratio; 'und' when
+    nothing matched. Ties resolved by language-code order (deterministic)."""
+    words = words_of(F.col(text_col))
+    scored = docs.select(
+        "doc_id",
+        *[
+            _stopword_ratio(words, lang).alias(f"score_{lang}")
+            for lang in sorted(STOPWORDS)
+        ],
+    )
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # reverse order so the earliest language wins ties via later override
+    for lang in reversed(langs):
+        pred = F.when(
+            (best > 0) & (F.col(f"score_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        round6(best).alias("lang_score"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Boilerplate-style quality heuristics per doc.
+
+    (doc_id, n_words, mean_word_len, punct_ratio, digit_ratio,
+    stopword_ratio, quality) — ``quality`` is a fixed linear blend in
+    [0, 1], higher = more natural-language-like. Deterministic, portable
+    arithmetic only (no floating aggregation order dependence).
+    """
+    t = F.col(text_col)
+    words = words_of(t)
+    n_words = F.size(words)
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    digits = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    mean_wl = F.length(F.regexp_replace(t, r"\s+", "")) / F.greatest(
+        n_words, F.lit(1)
+    )
+    sw = _stopword_ratio(words, "en")
+    quality = (
+        F.lit(0.4) * F.least(sw * 4, F.lit(1.0))
+        + F.lit(0.3)
+        * F.least(F.greatest(mean_wl - 2, F.lit(0.0)) / 4, F.lit(1.0))
+        + F.lit(0.2) * (1 - F.least(punct / n_chars * 5, F.lit(1.0)))
+        + F.lit(0.1) * (1 - F.least(digits / n_chars * 5, F.lit(1.0)))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        round6(mean_wl).alias("mean_word_len"),
+        round6(punct / n_chars).alias("punct_ratio"),
+        round6(digits / n_chars).alias("digit_ratio"),
+        round6(sw).alias("stopword_ratio"),
+        round6(quality).alias("quality"),
+    )
+
+
+def char_ngrams(text_col: Column, n: int = 5) -> Column:
+    """All character n-grams of a text as an array (rolling window)."""
+    return F.transform(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.length(text_col) - (n - 1), F.lit(1)),
+        ),
+        lambda i: F.substring(text_col, i, n),
+    )
+
+
+def fingerprints(
+    docs: DataFrame, text_col: str = "text", n: int = 5, k: int = 4
+) -> DataFrame:
+    """Bottom-k document fingerprint (winnowing-style rolling sketch).
+
+    md5 each char n-gram, keep the k lexicographically smallest digests,
+    concatenate -> a stable doc fingerprint whose equality implies high
+    content overlap. (doc_id, fingerprint).
+    """
+    grams = char_ngrams(F.col(text_col), n)
+    hashes = F.array_sort(F.transform(grams, F.md5))
+    return docs.select(
+        "doc_id",
+        F.array_join(F.slice(hashes, 1, k), "").alias("fingerprint"),
+    )

@@ -37,7 +37,10 @@ PNG_MAGIC = b"\x89PNG"
 PDF_MAGIC = b"%PDF"
 JPEG_MAGIC = b"\xff\xd8"
 
-Decoded = list[tuple[bytes, dict]]
+# per page: (stored_image_bytes, image_to_data_dict, page_text_or_None);
+# page_text is None when the backend has no exact-text notion (tesseract)
+# and the caller should derive it from the data dict.
+Decoded = list[tuple[bytes, dict, str | None]]
 Decoder = Callable[[bytes], Decoded]
 
 
@@ -77,7 +80,7 @@ def sniff_kind(data: bytes) -> str:
 
 def bitmap_decode(html: bytes) -> Decoded:
     """Deterministic glyph-grid backend (no native deps)."""
-    from ..functions.glyphs import page_image_to_data
+    from ..functions.glyphs import decode_page_text, page_image_to_data
 
     kind = sniff_kind(html)
     if kind == "png":
@@ -86,7 +89,11 @@ def bitmap_decode(html: bytes) -> Decoded:
         pngs = unpack_mpdf(bytes(html))
     else:
         raise ValueError(f"bitmap backend cannot decode payload kind {kind!r}")
-    return [(png, page_image_to_data(png)) for png in pngs]
+    out: Decoded = []
+    for png in pngs:
+        text = decode_page_text(png)  # single decode, shared by both uses
+        out.append((png, page_image_to_data(png, text), text))
+    return out
 
 
 def tesseract_decode(
@@ -155,6 +162,7 @@ def tesseract_decode(
             (
                 enc.tobytes(),
                 {k: data[k] for k in ("left", "top", "width", "height", "conf", "text")},
+                None,  # no exact-text notion; caller joins tokens
             )
         )
     return out

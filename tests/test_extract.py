@@ -46,7 +46,7 @@ def test_blocks_match_oracle(pages_df, extracted):
 
     expected = {}
     for row in pages_df.select("url", "html").collect():
-        for page_no, (_, data) in enumerate(bitmap_decode(bytes(row.html))):
+        for page_no, (_, data, _t) in enumerate(bitmap_decode(bytes(row.html))):
             expected[(row.url, page_no)] = oracle.commit_blocks(data)
 
     assert set(got) == set(expected)
@@ -87,7 +87,7 @@ def test_page_stats_match_oracle(pages_df, extracted):
     }
     sample = 0
     for row in pages_df.select("url", "html").limit(40).collect():
-        for page_no, (_, data) in enumerate(bitmap_decode(bytes(row.html))):
+        for page_no, (_, data, _t) in enumerate(bitmap_decode(bytes(row.html))):
             exp = oracle.page_stats(data)
             g = got[(row.url, page_no)]
             assert g["word_counts"] == exp["word_counts"]
@@ -141,3 +141,25 @@ def test_quirk_fixture_unit():
     # char stats over RAW texts include the whitespace-only row's spaces
     assert stats["char_counts"][" "] == 3
     assert stats["ascii_histogram"][ord(" ") - 32] == 3
+
+
+def test_hof_expr_agrees_with_udf_stats(extracted):
+    """Declarative page_stats_expr == in-UDF page_stats (both strategies)."""
+    from studiocr_spark.operators.stats import page_stats_expr
+
+    raw, _, _ = extracted
+    both = raw.limit(30).select(
+        "url",
+        "page_no",
+        F.col("page_stats").alias("udf_stats"),
+        page_stats_expr(F.col("raw")).alias("hof_stats"),
+    )
+    for r in both.collect():
+        u = r.udf_stats.asDict(recursive=True)
+        h = r.hof_stats.asDict(recursive=True)
+        assert u["word_counts"] == h["word_counts"]
+        assert u["unique_texts"] == h["unique_texts"]
+        assert u["char_counts"] == h["char_counts"]
+        assert sorted(u["unique_chars"]) == sorted(h["unique_chars"])
+        assert u["ascii_histogram"] == h["ascii_histogram"]
+        assert u["conf_by_text"] == h["conf_by_text"]

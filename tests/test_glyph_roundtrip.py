@@ -64,6 +64,6 @@ def test_corpus_docs_invertible():
         doc = make_doc(i)
         decoded = bitmap_decode(doc["html"])
         n_multi += len(decoded) > 1
-        joined = " ".join(decode_page_text(png) for png, _ in decoded)
+        joined = " ".join(t for _png, _d, t in decoded)
         assert joined == doc["text"]
     assert n_multi > 5  # the multi-page path is exercised
