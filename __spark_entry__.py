@@ -467,6 +467,37 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerpipe-style main-content extraction over templated HTML.
+
+    documents.text is wrapped in a fixed page template (nav + h1 + p +
+    footer). On this template the classifier's behavior is exactly
+    predictable in SQL: the <p> is content iff it has >= 10 words, the
+    nav/h1/footer are always boilerplate — giving the Python HTML parser
+    a DuckDB oracle.
+    """
+    from studiocr_spark.operators.boilerplate import strip_boilerplate
+    from studiocr_spark.session import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents")
+    html = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.concat(
+            F.lit(
+                '<html><body><nav><a href="/">Home</a> '
+                '<a href="/a">About</a></nav><h1>Title Words Here</h1><p>'
+            ),
+            F.col("text"),
+            F.lit(
+                '</p><footer>Copyright 2024 <a href="/t">Terms</a>'
+                "</footer></body></html>"
+            ),
+        ).alias("html_text"),
+    )
+    return strip_boilerplate(html)
+
+
 # -- extract pipeline (not SQL-expressible: rows-only checks) ---------------
 
 def extract_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -531,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": quality_scores,
         "token_counts": token_counts,
         "doc_fingerprints": doc_fingerprints,
+        "boilerplate_strip": boilerplate_strip,
         "extract_blocks": extract_blocks,
         "extract_page_stats": extract_page_stats,
     }
@@ -723,6 +755,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT text, min(doc_id) AS canonical_id
                   FROM documents GROUP BY text) c
               ON d.text = c.text
+        """,
+        "boilerplate_strip": """
+            SELECT CAST(doc_id AS VARCHAR) AS url,
+                   CASE WHEN len(string_split(text, ' ')) >= 10
+                        THEN text ELSE '' END AS main_text,
+                   4 AS n_blocks,
+                   CASE WHEN len(string_split(text, ' ')) >= 10
+                        THEN 1 ELSE 0 END AS n_content_blocks
+            FROM documents
         """,
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),

@@ -58,10 +58,21 @@ GLYPHS: dict[int, np.ndarray] = {
 _REVERSE: dict[bytes, int] = {g.tobytes(): c for c, g in GLYPHS.items()}
 assert len(_REVERSE) == ASCII_HI - ASCII_LO + 1, "glyph collision"
 
-# vectorized decode support: 35-bit integer key per glyph bit-pattern
-_POW2 = (1 << np.arange(GLYPH_W * GLYPH_H, dtype=np.uint64))
+# vectorized decode support: 40-bit packed key per glyph bit-pattern
+# (packbits -> 5 bytes/cell, 8x less memory traffic than a uint64 lane
+# per bit — the decode is memory-bandwidth-bound at high core counts)
+_PACK_W = (GLYPH_W * GLYPH_H + 7) // 8
+_BYTE_W = (np.uint64(256) ** np.arange(_PACK_W - 1, -1, -1, dtype=np.uint64))
+
+
+def _pack_key(bits_flat: np.ndarray) -> np.ndarray:
+    """(N, 35) boolean-ish -> (N,) uint64 packed keys."""
+    packed = np.packbits(bits_flat, axis=1)  # (N, 5) big-endian bits
+    return packed.astype(np.uint64) @ _BYTE_W
+
+
 _REVERSE_INT: dict[int, str] = {
-    int(((g.reshape(-1) != 0).astype(np.uint64) * _POW2).sum()): chr(c)
+    int(_pack_key((g.reshape(1, -1) != 0).astype(np.uint8))[0]): chr(c)
     for c, g in GLYPHS.items()
 }
 assert len(_REVERSE_INT) == len(GLYPHS), "glyph int-key collision"
@@ -77,9 +88,9 @@ def _cell_keys(img: np.ndarray) -> np.ndarray:
     cells = (
         area.reshape(n_rows, CELL_H, LINE_CHARS, CELL_W)
         .transpose(0, 2, 1, 3)[:, :, :GLYPH_H, :GLYPH_W]
-        .reshape(n_rows * LINE_CHARS, GLYPH_H * GLYPH_W)
+        .reshape(n_rows * LINE_CHARS, GLYPH_W * GLYPH_H)
     )
-    return ((cells != 0).astype(np.uint64) * _POW2).sum(axis=1)
+    return _pack_key(cells != 0)
 
 
 def word_conf(word: str) -> int:

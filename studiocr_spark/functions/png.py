@@ -78,4 +78,6 @@ def decode_png(data: bytes) -> np.ndarray:
     raw = raw.reshape(h, w + 1)
     if (raw[:, 0] != 0).any():
         raise ValueError("unsupported scanline filter")
-    return raw[:, 1:].copy()
+    # view, not copy: consumers reshape/copy as needed and the decode is
+    # memory-bandwidth-bound at high parallelism
+    return raw[:, 1:]

@@ -50,10 +50,16 @@ MPDF_FRACTION = 0.1
 _EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
 
 
-def make_doc(doc_id: int) -> dict:
-    """Deterministic row for one document (pure function of doc_id)."""
+def make_doc(doc_id: int, min_words: int = 8, max_words: int = 60) -> dict:
+    """Deterministic row for one document (pure function of doc_id).
+
+    Word-count bounds are parameters: correctness corpora use small docs
+    (fast tests); throughput/scaling corpora use realistic page sizes
+    (hundreds of words — Common-Crawl main text is ~100x the default) so
+    benchmarks measure extraction compute, not per-row IPC overhead.
+    """
     rng = random.Random(0xC0FFEE ^ doc_id)
-    n_words = rng.randint(8, 60)
+    n_words = rng.randint(min_words, max_words)
     text = " ".join(rng.choice(VOCAB) for _ in range(n_words))
     host = 0 if rng.random() < HOT_HOST_FRACTION else 1 + rng.randrange(N_COLD_HOSTS)
     url = f"https://host{host}.example/p{doc_id}"
@@ -79,7 +85,11 @@ def make_doc(doc_id: int) -> dict:
 
 
 def generate_pages(
-    spark: SparkSession, n_docs: int, partitions: int | None = None
+    spark: SparkSession,
+    n_docs: int,
+    partitions: int | None = None,
+    min_words: int = 8,
+    max_words: int = 60,
 ) -> DataFrame:
     """Distributed corpus build; returns the pages DataFrame."""
     if partitions is None:
@@ -87,7 +97,9 @@ def generate_pages(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [make_doc(int(i)) for i in pdf["id"]]
+            rows = [
+                make_doc(int(i), min_words, max_words) for i in pdf["id"]
+            ]
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )
@@ -97,8 +109,13 @@ def generate_pages(
 
 
 def write_pages(
-    spark: SparkSession, n_docs: int, out_path: str, partitions: int | None = None
+    spark: SparkSession,
+    n_docs: int,
+    out_path: str,
+    partitions: int | None = None,
+    min_words: int = 8,
+    max_words: int = 60,
 ) -> None:
-    generate_pages(spark, n_docs, partitions).write.mode("overwrite").parquet(
-        out_path
-    )
+    generate_pages(
+        spark, n_docs, partitions, min_words, max_words
+    ).write.mode("overwrite").parquet(out_path)

@@ -67,24 +67,25 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, seed, minhash): per-seed min over md5(seed|shingle).
 
-    Narrow: the min runs inside a higher-order aggregate over the
-    per-doc shingle array — no explode, no shuffle.
+    Shape: explode shingles -> md5 per (shingle, seed) -> hash-agg mins.
+    A higher-order-function formulation (array_min over transform) avoids
+    the shuffle but re-evaluates the shingle array once per seed —
+    Catalyst does not CSE across output columns — measured ~8x slower.
+    The grouped min has map-side partial aggregation, so the shuffle
+    carries only num_hashes rows per doc per partition.
     """
-    shingles = word_shingles(F.col(text_col), n)
-    rows = []
-    for seed in range(num_hashes):
-        rows.append(
-            F.array_min(
-                F.transform(
-                    shingles,
-                    lambda s, seed=seed: F.md5(
-                        F.concat(F.lit(f"{seed}|"), s)
-                    ),
-                )
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{seed}|"), F.col("shingle")))
             ).alias(f"mh_{seed}")
-        )
-    sig = docs.select("doc_id", *rows)
-    return sig.selectExpr(
+            for seed in range(num_hashes)
+        ]
+    )
+    return mins.selectExpr(
         "doc_id",
         "stack({n}, {pairs}) as (seed, minhash)".format(
             n=num_hashes,
@@ -190,30 +191,30 @@ def simhash(
     """
     if bits > 32:
         raise ValueError("bits must be <= 32 (one hex digit per bit)")
-    words = words_of(F.col(text_col))
-    hashes = F.transform(words, F.md5)
-
-    def _vote(b: int):
-        # closure factory: a `b=b` default would change the lambda's arity
-        # and PySpark would treat it as a 3-arg merge function
-        def fold(acc, h):
-            return acc + F.when(
-                F.conv(F.substring(h, b + 1, 1), 16, 10).cast("int") % 2 == 1,
-                1,
-            ).otherwise(-1)
-
-        return fold
-
-    bit_cols = []
+    # explode words -> ONE md5 per token -> per-bit +-1 sums in a single
+    # hash aggregate (map-side combine). The fold-per-bit HOF variant
+    # re-hashes every token per bit.
+    toks = docs.select(
+        "doc_id", F.explode(words_of(F.col(text_col))).alias("w")
+    ).select("doc_id", F.md5("w").alias("h"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.conv(F.substring("h", b + 1, 1), 16, 10).cast("int") % 2
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v_{b}")
+            for b in range(bits)
+        ]
+    )
+    total = F.lit(0)
     for b in range(bits):
-        votes = F.aggregate(hashes, F.lit(0), _vote(b))
-        bit_cols.append(
-            F.when(votes > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        total = total + F.when(F.col(f"v_{b}") > 0, F.lit(2 ** b)).otherwise(
+            F.lit(0)
         )
-    total = bit_cols[0]
-    for c in bit_cols[1:]:
-        total = total + c
-    return docs.select("doc_id", total.cast("long").alias("simhash"))
+    return votes.select("doc_id", total.cast("long").alias("simhash"))
 
 
 def simhash_near_dups(

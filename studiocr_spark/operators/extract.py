@@ -47,6 +47,31 @@ RAW_ROW_SCHEMA = T.StructType(
         T.StructField("text", T.StringType(), True),
     ]
 )
+# The UDF emits the tesseract parallel arrays AS parallel primitive
+# arrays (Arrow converts list<int>/list<string> ~5x faster than
+# list<struct> built from Python dicts); extract_raw() reassembles the
+# ergonomic array<struct> "raw" column JVM-side via arrays_zip (free).
+_UDF_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("page_no", T.IntegerType(), False),
+        T.StructField("image", T.BinaryType(), True),
+        T.StructField("page_text", T.StringType(), True),
+        T.StructField("raw_left", T.ArrayType(T.IntegerType()), True),
+        T.StructField("raw_top", T.ArrayType(T.IntegerType()), True),
+        T.StructField("raw_width", T.ArrayType(T.IntegerType()), True),
+        T.StructField("raw_height", T.ArrayType(T.IntegerType()), True),
+        T.StructField("raw_conf", T.ArrayType(T.IntegerType()), True),
+        T.StructField("raw_text", T.ArrayType(T.StringType()), True),
+        # typed OcrPageData, computed in-UDF (functions/pagestats.py)
+        T.StructField("page_stats", PAGE_STATS_SCHEMA, True),
+        # non-null => the payload failed to decode; the row is a quarantine
+        # marker (page_no=-1, raw=[]) so one corrupt page can never fail a
+        # 100 TB job, and failures stay auditable (see quarantine()).
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
 EXTRACT_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
@@ -54,11 +79,7 @@ EXTRACT_SCHEMA = T.StructType(
         T.StructField("image", T.BinaryType(), True),
         T.StructField("page_text", T.StringType(), True),
         T.StructField("raw", T.ArrayType(RAW_ROW_SCHEMA), True),
-        # typed OcrPageData, computed in-UDF (functions/pagestats.py)
         T.StructField("page_stats", PAGE_STATS_SCHEMA, True),
-        # non-null => the payload failed to decode; the row is a quarantine
-        # marker (page_no=-1, raw=[]) so one corrupt page can never fail a
-        # 100 TB job, and failures stay auditable (see quarantine()).
         T.StructField("error", T.StringType(), True),
     ]
 )
@@ -95,10 +116,9 @@ def extract_raw(
         raise ValueError("errors must be 'skip' or 'fail'")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["url", "page_no", "image", "page_text", "raw", "page_stats",
-                "error"]
+        cols = _UDF_SCHEMA.fieldNames()
         for pdf in batches:
-            out: list[dict] = []
+            out: list[tuple] = []
             for url, html in zip(pdf["url"], pdf["html"]):
                 try:
                     if html is None:
@@ -108,30 +128,11 @@ def extract_raw(
                     if errors == "fail":
                         raise
                     out.append(
-                        {
-                            "url": url,
-                            "page_no": -1,
-                            "image": None,
-                            "page_text": None,
-                            "raw": [],
-                            "page_stats": None,
-                            "error": f"{type(exc).__name__}: {exc}",
-                        }
+                        (url, -1, None, None, [], [], [], [], [], [], None,
+                         f"{type(exc).__name__}: {exc}")
                     )
                     continue
                 for page_no, (png, data, decoded_text) in enumerate(decoded):
-                    raw = [
-                        {
-                            "block_no": i,
-                            "left": int(data["left"][i]),
-                            "top": int(data["top"][i]),
-                            "width": int(data["width"][i]),
-                            "height": int(data["height"][i]),
-                            "conf": int(data["conf"][i]),
-                            "text": str(data["text"][i]),
-                        }
-                        for i in range(len(data["text"]))
-                    ]
                     # backends with an exact-text notion (bitmap) supply it
                     # directly (byte-identical contract); otherwise the page
                     # text is the non-structural tokens joined.
@@ -142,21 +143,51 @@ def extract_raw(
                             t for t in data["text"] if t and not t.isspace()
                         )
                     out.append(
-                        {
-                            "url": url,
-                            "page_no": page_no,
-                            "image": png,
-                            "page_text": page_text,
-                            "raw": raw,
-                            "page_stats": compute_page_stats(data),
-                            "error": None,
-                        }
+                        (
+                            url,
+                            page_no,
+                            png,
+                            page_text,
+                            [int(v) for v in data["left"]],
+                            [int(v) for v in data["top"]],
+                            [int(v) for v in data["width"]],
+                            [int(v) for v in data["height"]],
+                            [int(v) for v in data["conf"]],
+                            [str(t) for t in data["text"]],
+                            compute_page_stats(data),
+                            None,
+                        )
                     )
             yield pd.DataFrame(out, columns=cols)
 
     if num_partitions:
         pages = pages.repartition(num_partitions)
-    return pages.select("url", "html").mapInPandas(run, schema=EXTRACT_SCHEMA)
+    udf_out = pages.select("url", "html").mapInPandas(run, schema=_UDF_SCHEMA)
+    # reassemble the array<struct> view JVM-side (arrays_zip is a zero-copy
+    # projection); block_no = array ordinal, preserved through filtering
+    raw_struct = F.arrays_zip(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.size("raw_text") - 1, F.lit(0)),
+        ).alias("block_no"),
+        F.col("raw_left").alias("left"),
+        F.col("raw_top").alias("top"),
+        F.col("raw_width").alias("width"),
+        F.col("raw_height").alias("height"),
+        F.col("raw_conf").alias("conf"),
+        F.col("raw_text").alias("text"),
+    )
+    return udf_out.select(
+        "url",
+        "page_no",
+        "image",
+        "page_text",
+        F.when(F.size("raw_text") > 0, raw_struct)
+        .otherwise(F.array().cast(T.ArrayType(RAW_ROW_SCHEMA)))
+        .alias("raw"),
+        "page_stats",
+        "error",
+    )
 
 
 def blocks_from_raw(raw_df: DataFrame) -> DataFrame:

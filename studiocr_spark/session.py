@@ -97,14 +97,22 @@ def build_pyfiles_zip(dest: str | None = None) -> str:
     return dest
 
 
+_SHIPPED_APPS: set[str] = set()
+
+
 def ship_package(spark: SparkSession) -> None:
     """Make ``studiocr_spark`` importable inside Python UDF workers.
 
     Driver-side ``sys.path`` does not propagate to executor Python
-    workers; ``addPyFile`` does (and is a no-op re-adding the same file).
+    workers; ``addPyFile`` does. Idempotent per application (re-adding
+    the same path logs a warning, so we track it).
     """
     try:
+        app_id = spark.sparkContext.applicationId
+        if app_id in _SHIPPED_APPS:
+            return
         spark.sparkContext.addPyFile(build_pyfiles_zip())
+        _SHIPPED_APPS.add(app_id)
     except Exception:
         # e.g. Spark Connect sessions without an SC — UDFs then rely on a
         # cluster-provided --py-files artifact.

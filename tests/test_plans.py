@@ -1,0 +1,99 @@
+"""Plan-quality pins: pushdown, pruning, broadcasts, shuffle counts.
+
+These encode the 100 TB design intent: if a filter stops reaching the
+parquet scan or a dim join loses its broadcast, these fail before the
+cluster bill does.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+from pyspark.sql import functions as F
+
+from studiocr_spark.plans.explain import (
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+    read_schemas,
+    shuffle_exchanges,
+)
+
+from .conftest import sf_dir
+
+SF = sf_dir("0.001")
+
+
+def test_q1_filter_pushed_and_columns_pruned(spark):
+    df = entry.q1_pricing_summary(spark, SF)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+    # the scan must not read all 11 lineitem columns for a 7-column agg
+    schemas = read_schemas(df)
+    assert schemas and all("l_orderkey" not in s for s in schemas), schemas
+
+
+def test_q3_broadcasts_customer_dim(spark):
+    df = entry.q3_shipping_priority(spark, SF)
+    assert has_broadcast_join(df)
+    pushed = pushed_filters(df)
+    assert any("c_mktsegment" in p for p in pushed), pushed
+    assert any("o_orderdate" in p for p in pushed), pushed
+
+
+def test_q5_broadcasts_small_dims(spark):
+    df = entry.q5_supplier_volume(spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_point_lookup_pushes_url_filter(spark, pages_df, tmp_path):
+    """F4: doc lookup by key is partition-prunable at the scan."""
+    p = str(tmp_path / "pages")
+    pages_df.write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p).filter(
+        F.col("url") == "https://host0.example/p10"
+    )
+    pushed = pushed_filters(df)
+    assert any("url" in x and "IsNotNull" not in x.replace("IsNotNull(url)", "")
+               or "EqualTo(url" in x for x in pushed), pushed
+
+
+def test_extract_pipeline_is_shuffle_free(spark, pages_df):
+    """decode -> blocks -> page stats: zero shuffle exchanges."""
+    from studiocr_spark.operators.extract import blocks_from_raw, extract_raw
+
+    raw = extract_raw(pages_df, backend="bitmap")
+    ok = raw.filter(F.col("error").isNull())
+    blocks = blocks_from_raw(ok)
+    assert shuffle_exchanges(blocks) == [], formatted_plan(blocks)
+    stats = ok.select("url", "page_no", "page_stats")
+    assert shuffle_exchanges(stats) == []
+
+
+def test_in_doc_search_broadcasts_words(spark, extracted):
+    from studiocr_spark.operators.search import in_doc_search
+
+    _, _, ocr_blocks = extracted
+    url = ocr_blocks.select("url").first().url
+    df = in_doc_search(ocr_blocks, url, "cat dog")
+    # a contains-theta join plans as BroadcastNestedLoopJoin with the tiny
+    # words side broadcast — the design intent; a non-broadcast NLJ or a
+    # CartesianProduct here would be the regression
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_assemble_doc_text_single_shuffle(spark, extracted):
+    from studiocr_spark.operators.extract import assemble_doc_text
+
+    raw, _, _ = extracted
+    df = assemble_doc_text(raw)
+    # exactly one exchange: the groupBy(url); partial agg applies map-side
+    assert len(shuffle_exchanges(df)) == 1, formatted_plan(df)
+
+
+def test_exact_dedup_single_shuffle_per_agg(spark):
+    df = entry.dedup_exact(spark, SF)
+    # groupBy(text) + join back: AQE may plan 2 exchanges pre-runtime but
+    # the join must not be a cartesian
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
