@@ -467,6 +467,77 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def running_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user value sum (ordered frame, rowsBetween)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status -> priority -> grand total)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+def pivot_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts, status x priority matrix (fixed value list)."""
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .count()
+    )
+    renames = {p: f"p{i + 1}" for i, p in enumerate(prios)}
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out.na.fill(0, list(renames.values()))
+
+
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT composition over customer segments."""
+    cust = _t(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    low_nations = cust.filter(F.col("c_nationkey") < 12).select("c_custkey")
+    return (
+        building.intersect(rich)
+        .exceptAll(low_nations)
+        .distinct()
+        .orderBy("c_custkey")
+    )
+
+
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (median + p90)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerpipe-style main-content extraction over templated HTML.
 
@@ -562,6 +633,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": quality_scores,
         "token_counts": token_counts,
         "doc_fingerprints": doc_fingerprints,
+        "running_window_sum": running_window_sum,
+        "rollup_orders": rollup_orders,
+        "pivot_order_priority": pivot_order_priority,
+        "set_ops_customers": set_ops_customers,
+        "percentile_prices": percentile_prices,
         "boilerplate_strip": boilerplate_strip,
         "extract_blocks": extract_blocks,
         "extract_page_stats": extract_page_stats,
@@ -755,6 +831,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT text, min(doc_id) AS canonical_id
                   FROM documents GROUP BY text) c
               ON d.text = c.text
+        """,
+        "running_window_sum": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                     AS running_value
+            FROM events
+        """,
+        "rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "pivot_order_priority": """
+            SELECT o_orderstatus,
+                   count(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+                   count(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+                   count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+                   count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+                   count(*) FILTER (o_orderpriority = '5-LOW') AS p5
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "set_ops_customers": """
+            SELECT DISTINCT c_custkey FROM (
+              (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+               INTERSECT
+               SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+              EXCEPT
+              SELECT c_custkey FROM customer WHERE c_nationkey < 12
+            ) ORDER BY c_custkey
+        """,
+        "percentile_prices": """
+            SELECT o_orderstatus,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderstatus
         """,
         "boilerplate_strip": """
             SELECT CAST(doc_id AS VARCHAR) AS url,

@@ -66,6 +66,11 @@ def main() -> None:
         shuffle_partitions=max(CPUS, 8),
     )
 
+    # warmup outside the timed region: JVM JIT, parquet reader, Python
+    # workers, codegen — otherwise the first query absorbs all of it
+    _force(qs_warm := entry.queries()["q1_pricing_summary"](spark, SF_DIR))
+    _force(entry.queries()["token_counts"](spark, SF_DIR))
+
     qs = entry.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -75,3 +75,16 @@ def test_windowed_event_counts(spark, tmp_path):
     )
     got_total = sum(r.n for r in rows)
     assert got_total == sum(r.n for r in batch.collect())
+
+
+def test_observed_metrics(spark, pages_df):
+    from studiocr_spark.operators.extract import extract_raw
+    from studiocr_spark.streaming.metrics import observed
+
+    raw = extract_raw(pages_df, backend="bitmap")
+    df, obs = observed(raw, "x")
+    n = df.count()
+    got = obs.get
+    assert got["rows"] == n
+    assert got["errors"] == 0
+    assert got["urls_approx"] > 100  # ~120 urls, approx sketch
