@@ -137,23 +137,38 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs; keep >= threshold.
 
-    (doc_a, doc_b, jaccard). Joins the (small) candidate set against the
-    per-doc shingle arrays twice — broadcastable when candidates are few.
+    (doc_a, doc_b, jaccard). Count-based: |A∩B| comes from an equi-join
+    of the exploded distinct-shingle table restricted to candidate pairs,
+    and |A∪B| = |A| + |B| - |A∩B| — no per-doc shingle ARRAYS are ever
+    materialized or shipped, so a 10^5-shingle document costs rows, not a
+    wide array in every pair row. A pair with zero shared shingles drops
+    out of the join, which is correct for any threshold > 0.
     """
-    sh = docs.select(
-        "doc_id", word_shingles(F.col(text_col), n).alias("sh")
+    sh = shingle_table(docs, text_col, n)  # distinct (doc_id, shingle)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
     )
     out = (
-        pairs.join(sh.withColumnRenamed("doc_id", "doc_a")
-                     .withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b")
-                .withColumnRenamed("sh", "sh_b"), "doc_b")
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"),
+                         F.col("n_sh").alias("n_a")), "doc_a"
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"),
+                         F.col("n_sh").alias("n_b")), "doc_b"
+        )
         .select(
             "doc_a",
             "doc_b",
             (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
+                F.col("shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared"))
             ).alias("jaccard"),
         )
     )
