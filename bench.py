@@ -64,6 +64,9 @@ def main() -> None:
         app_name="studiocr-bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=max(CPUS, 8),
+        # small scan partitions give the extract its parallelism from the
+        # file scan itself — no repartition shuffle in the timed region
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024)},
     )
 
     # warmup outside the timed region: JVM JIT, parquet reader, Python
@@ -85,7 +88,7 @@ def main() -> None:
         write_pages(spark, EXTRACT_DOCS, corpus_dir, partitions=CPUS * 2)
     pages = spark.read.parquet(corpus_dir)
     t0 = time.time()
-    raw = extract_raw(pages, backend="bitmap", num_partitions=CPUS * 2)
+    raw = extract_raw(pages, backend="bitmap")
     from pyspark.sql import functions as F
 
     ok = raw.filter(F.col("error").isNull())

@@ -89,14 +89,15 @@ def brute_force_topk(
 
 
 def hyperplane_signature(
-    vec_col: Column, dim: int, n_planes: int = 8
+    vec_col: Column, dim: int, n_planes: int = 8, table: int = 0
 ) -> Column:
     """Deterministic random-hyperplane LSH signature (int bucket id).
 
     Plane i component j = +1/-1 by the parity of hex digit (j mod 32) of
-    md5("plane-i-chunk"), i.e. fully derived from (i, j) — no RNG state,
-    identical across engines and runs. Signature bit i = sign of the
-    projection.
+    md5("plane-t-i-chunk"), i.e. fully derived from (table, i, j) — no
+    RNG state, identical across engines and runs. Signature bit i = sign
+    of the projection. ``table`` seeds an independent hash table for
+    OR-amplified multi-table LSH.
     """
     bits = []
     for i in range(n_planes):
@@ -111,7 +112,7 @@ def hyperplane_signature(
                         F.substring(
                             F.md5(
                                 F.concat(
-                                    F.lit(f"plane-{i}-"),
+                                    F.lit(f"plane-{table}-{i}-"),
                                     F.floor(j / 32).cast("string"),
                                 )
                             ),
@@ -142,26 +143,36 @@ def lsh_topk(
     dim: int,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: bucket equi-join on the hyperplane signature,
-    exact cosine re-rank within buckets. Recall < 1 by design; raise
-    ``n_planes`` bands (or probe neighboring buckets) to trade cost for
-    recall."""
+    """Approximate top-k: bucket equi-join on hyperplane signatures,
+    exact cosine re-rank within buckets.
+
+    OR-amplified multi-table LSH: a candidate qualifies by matching the
+    query's bucket in ANY of ``n_tables`` independent tables (fewer
+    planes per table -> wider buckets; more tables -> higher recall).
+    Both are the standard recall/cost dials.
+    """
     from pyspark.sql import Window
 
-    sig = hyperplane_signature(F.col(vec_col), dim, n_planes)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        sig.alias("bucket"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        sig.alias("bucket"),
-    )
+    def with_buckets(df: DataFrame, ident: str, vec_alias: str) -> DataFrame:
+        sigs = F.array(
+            *[
+                hyperplane_signature(F.col(vec_col), dim, n_planes, table=t)
+                + t * (2 ** n_planes)  # disjoint bucket spaces per table
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(ident),
+            F.col(vec_col).alias(vec_alias),
+            F.explode(sigs).alias("bucket"),
+        )
+
+    q = with_buckets(queries, "query_id", "qv")
+    c = with_buckets(corpus, "neighbor_id", "cv")
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -170,6 +181,96 @@ def lsh_topk(
             "neighbor_id",
             cosine_sim(F.col("qv"), F.col("cv")).alias("cos_raw"),
         )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse quantize -> probe nearest cells -> re-rank.
+
+    Centroids are a deterministic sample (the ``n_centroids`` lowest-id
+    corpus vectors — a fixed coarse quantizer; production would run
+    k-means refinement, which only moves the centroids, not the plan
+    shape). Every corpus vector is assigned to its nearest centroid
+    (broadcast centroid join); each query probes its ``n_probe`` nearest
+    cells and exact-cosine re-ranks within them.
+
+    Scale shape: the corpus-side assignment is a broadcast join + window
+    (one shuffle on cell), the query side touches ``n_probe / n_centroids``
+    of the corpus — the standard recall/cost dial.
+    """
+    from pyspark.sql import Window
+
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+        )
+    )
+
+    def assign(df: DataFrame, ident: str, vec: str, keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            ident,
+            vec,
+            "centroid_id",
+            cosine_sim(F.col(vec), F.col("cvec")).alias("csim"),
+        )
+        w = Window.partitionBy(ident).orderBy(
+            F.desc("csim"), F.asc("centroid_id")
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= keep)
+            .drop("csim", "crank")
+        )
+
+    c = assign(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        "neighbor_id",
+        "cv",
+        1,
+    )
+    q = assign(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        "query_id",
+        "qv",
+        n_probe,
+    )
+    scored = (
+        c.join(q, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("qv"), F.col("cv")).alias("cos_raw"),
+        )
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_raw"), F.asc("neighbor_id")

@@ -31,6 +31,7 @@ def test_query_and_oracle_keys_align():
     # the non-oracled set is exactly the documented non-SQL-expressible ops
     assert set(qs) - set(oracles) == {
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "embedding_near_dups",
         "extract_blocks",
         "extract_page_stats",

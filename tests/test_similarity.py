@@ -1,0 +1,88 @@
+"""Similarity search: exactness of brute force, recall of ANN variants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from studiocr_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dups,
+    ivf_topk,
+    lsh_topk,
+)
+
+from .conftest import sf_dir
+
+N_QUERIES = 8
+K = 5
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{sf_dir('0.001')}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def truth(emb):
+    """numpy ground-truth top-k per query."""
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for qi in range(N_QUERIES):
+        sims = mat @ mat[qi]
+        sims[qi] = -np.inf
+        order = np.argsort(-sims, kind="stable")
+        out[int(ids[qi])] = [int(ids[j]) for j in order[:K]]
+    return out
+
+
+def test_brute_force_exact(emb, truth):
+    got = {}
+    res = brute_force_topk(emb.filter(F.col("vec_id") < N_QUERIES), emb, k=K)
+    for r in res.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    for q, pairs in got.items():
+        ordered = [n for _, n in sorted(pairs)]
+        assert ordered == truth[q], q
+
+
+@pytest.mark.parametrize(
+    "fn,kwargs,min_recall",
+    [
+        (lsh_topk, {"dim": 64, "n_planes": 5, "n_tables": 8}, 0.3),
+        (ivf_topk, {"n_centroids": 16, "n_probe": 4}, 0.2),
+    ],
+)
+def test_ann_recall(emb, truth, fn, kwargs, min_recall):
+    res = fn(emb.filter(F.col("vec_id") < N_QUERIES), emb, k=K, **kwargs)
+    got: dict[int, set] = {}
+    for r in res.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for q, true_k in truth.items():
+        hits += len(got.get(q, set()) & set(true_k))
+        total += K
+    recall = hits / total
+    assert recall >= min_recall, f"recall {recall:.2f}"
+    # every returned neighbor must be a real corpus vector, never self
+    for q, ns in got.items():
+        assert q not in ns
+
+
+def test_embedding_near_dups_are_true_pairs(emb):
+    pairs = embedding_near_dups(emb, dim=64, threshold=0.3, n_planes=4)
+    rows = pairs.collect()
+    assert rows, "expected some near-dup pairs at threshold 0.3"
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    for r in rows:
+        a, b = vecs[r.vec_a], vecs[r.vec_b]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos >= 0.3 - 1e-9
+        assert abs(cos - r.cosine) < 1e-4
+        assert r.vec_a < r.vec_b
