@@ -294,6 +294,30 @@ def j3_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.filter(cond).select("doc_id").distinct().orderBy("doc_id")
 
 
+def j3_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 via the inverted index (dictionary scan + postings semi-join);
+    must return exactly the scan path's result set."""
+    from studiocr_spark.operators.index import build_postings
+    from studiocr_spark.operators.search import global_search_indexed
+
+    blocks = _blocks(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(0).alias("page_no"),
+        "block_no",
+        F.lit(0).alias("left"),
+        F.lit(0).alias("top"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        "conf",
+        "text",
+    )
+    postings = build_postings(blocks)
+    hits = global_search_indexed(postings, " ".join(SEARCH_WORDS))
+    return hits.select(F.col("url").cast("long").alias("doc_id")).orderBy(
+        "doc_id"
+    )
+
+
 def j4_indoc_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: per-doc match count, a block counted once PER matching word."""
     b = _blocks(spark, sf_dir)
@@ -580,6 +604,37 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- extract pipeline (not SQL-expressible: rows-only checks) ---------------
 
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming watermarked windowed rollup over events,
+    driven to completion via the memory sink (rows-only: streaming)."""
+    import uuid
+
+    from studiocr_spark.streaming.stream_extract import (
+        run_stream_to_memory,
+        windowed_event_counts,
+    )
+
+    ev_dir = f"/tmp/entry_events_{os.path.basename(sf_dir)}"
+    if not os.path.exists(ev_dir):
+        _t(spark, sf_dir, "events").write.mode("overwrite").parquet(ev_dir)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(ev_dir)
+    )
+    agg = windowed_event_counts(stream, window="1 hour")
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    out = run_stream_to_memory(agg, name, spark)
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        "n",
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
 def extract_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The OCR extract UDF chain on a generated 60-doc corpus."""
     from studiocr_spark.gen import generate_pages
@@ -625,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_conf_by_text": a6_conf_by_text,
         "a7_docs_per_source": a7_docs_per_source,
         "j3_keyword_search": j3_keyword_search,
+        "j3_indexed_search": j3_indexed_search,
         "j4_indoc_matches": j4_indoc_matches,
         "j5_name_search": j5_name_search,
         "f6_conf_colors": f6_conf_colors,
@@ -649,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_customers": set_ops_customers,
         "percentile_prices": percentile_prices,
         "boilerplate_strip": boilerplate_strip,
+        "stream_window_counts": stream_window_counts,
         "extract_blocks": extract_blocks,
         "extract_page_stats": extract_page_stats,
     }
@@ -768,6 +825,17 @@ def oracle_sql() -> dict[str, str]:
         "j3_keyword_search": f"""
             SELECT DISTINCT doc_id FROM ({_BLOCKS_SQL})
             WHERE {words_pred} ORDER BY doc_id
+        """,
+        "j3_indexed_search": f"""
+            SELECT DISTINCT doc_id FROM ({_BLOCKS_SQL})
+            WHERE {words_pred} ORDER BY doc_id
+        """,
+        "stream_window_counts": """
+            SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR)
+                     AS window_start,
+                   event_type, count(*) AS n,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1, 2
         """,
         "j4_indoc_matches": f"""
             SELECT doc_id, count(*) AS n_matches
