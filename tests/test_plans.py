@@ -97,3 +97,23 @@ def test_exact_dedup_single_shuffle_per_agg(spark):
     # the join must not be a cartesian
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_minhash_lsh_no_cartesian(spark):
+    df = entry.dedup_minhash_lsh(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # the band self-join is an equi-join (hash-partitioned), never NLJ
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_brute_force_broadcasts_queries(spark):
+    df = entry.ann_cosine_topk(spark, SF)
+    plan = formatted_plan(df)
+    # the small query side must be broadcast into the corpus scan side
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_indexed_search_broadcasts_dictionary(spark):
+    df = entry.j3_indexed_search(spark, SF)
+    assert has_broadcast_join(df)
