@@ -41,6 +41,11 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "j3_indexed_search",
+    "boilerplate_strip",
+    "running_window_sum",
+    "rollup_orders",
     "lang_id",
     "quality_scores",
     "token_counts",
