@@ -348,6 +348,20 @@ def j5_name_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_WORDS = ["spark", "the", "table"]
+
+
+def bm25_ranked_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the token inverted index."""
+    from studiocr_spark.operators.search import bm25_search
+
+    postings = _blocks(spark, sf_dir).select(
+        F.col("text").alias("term"),
+        F.col("doc_id").cast("string").alias("url"),
+    )
+    return bm25_search(postings, " ".join(BM25_WORDS))
+
+
 def f6_conf_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6: conf -> green/blue/red classification counts."""
     from studiocr_spark.operators.search import conf_color
@@ -683,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_indexed_search": j3_indexed_search,
         "j4_indoc_matches": j4_indoc_matches,
         "j5_name_search": j5_name_search,
+        "bm25_ranked_search": bm25_ranked_search,
         "f6_conf_colors": f6_conf_colors,
         "w5_navigation": w5_navigation,
         "w6_first_doc_per_source": w6_first_doc_per_source,
@@ -850,6 +865,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE contains(lower(source || '-doc' || CAST(doc_id AS VARCHAR)),
                            'rc1-doc1')
             ORDER BY lower(name)
+        """,
+        "bm25_ranked_search": f"""
+            WITH b AS (
+              SELECT CAST(doc_id AS VARCHAR) AS url, text AS term
+              FROM ({_BLOCKS_SQL})
+            ), dl AS (
+              SELECT url, count(*) AS dl FROM b GROUP BY url
+            ), stats AS (
+              SELECT count(*) AS n, avg(dl) AS avg_dl FROM dl
+            ), terms AS (
+              SELECT unnest({BM25_WORDS!r}) AS term
+            ), m AS (
+              SELECT b.url, b.term FROM b JOIN terms USING (term)
+            ), dft AS (
+              SELECT term, count(DISTINCT url) AS df FROM m GROUP BY term
+            ), tf AS (
+              SELECT url, term, count(*) AS tf FROM m GROUP BY url, term
+            )
+            SELECT tf.url AS url,
+                   round(sum(
+                     ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+                     * tf.tf
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avg_dl))
+                   ), 6) AS score
+            FROM tf
+            JOIN dft USING (term)
+            JOIN dl ON dl.url = tf.url
+            CROSS JOIN stats
+            GROUP BY tf.url
+            ORDER BY score DESC, url
         """,
         "f6_conf_colors": f"""
             SELECT CASE WHEN conf >= 80 THEN 'green'

@@ -181,6 +181,69 @@ def matched_page_navigation(
     )
 
 
+def bm25_search(
+    postings: DataFrame,
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    limit: int | None = None,
+) -> DataFrame:
+    """Ranked retrieval over the inverted index: BM25 (Robertson/Spärck
+    Jones — public formula), token-match semantics.
+
+    score(d) = Σ_t idf(t) * tf / (tf + k1 * (1 - b + b * len_d / avg_len))
+    with idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)).
+
+    One aggregation over the postings restricted to query terms (equi-
+    join on term — broadcast of the tiny term list), plus two broadcast
+    stats joins (doc lengths, term dfs). Deterministic tie-break by url.
+    """
+    words = split_query(query)
+    spark = postings.sparkSession
+    if not words:
+        return spark.createDataFrame([], "url string, score double")
+    terms_df = F.broadcast(
+        spark.createDataFrame([(w,) for w in set(words)], "term string")
+    )
+
+    doc_len = postings.groupBy("url").agg(F.count("*").alias("dl"))
+    n_docs_row = doc_len.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avg_dl")
+    ).collect()[0]
+    n_docs, avg_dl = n_docs_row.n, float(n_docs_row.avg_dl)
+
+    matched = postings.join(terms_df, "term")
+    df_t = matched.groupBy("term").agg(
+        F.count_distinct("url").alias("df")
+    )
+    tf = matched.groupBy("url", "term").agg(F.count("*").alias("tf"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(doc_len), "url")
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.lit(avg_dl))
+            ),
+        )
+        .groupBy("url")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("url"))
+    )
+    return scored.limit(limit) if limit else scored
+
+
 def first_page_per_doc(ocr_pages: DataFrame) -> DataFrame:
     """S8/W6: thumbnail = first page image per doc (ListDocuments.py:60-61).
 
