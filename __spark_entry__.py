@@ -453,6 +453,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over MinHash-LSH near-dup pairs: the cluster
+    assignment step of dedup (keep min doc per cluster)."""
+    from studiocr_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_dedup,
+    )
+
+    pairs = minhash_lsh_dedup(_t(spark, sf_dir, "documents"), threshold=0.3)
+    return connected_components(pairs).orderBy("doc_id")
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from studiocr_spark.operators.similarity import brute_force_topk
 
@@ -706,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_clusters": dedup_clusters,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1006,6 +1019,24 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT doc_a, doc_b FROM ({_minhash_oracle()})
+            ), edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM pairs
+            ), nodes AS (
+              SELECT DISTINCT src AS node FROM edges
+            ), reach(node, label) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT e.dst AS node, r.label
+              FROM reach r JOIN edges e ON e.src = r.node
+            )
+            SELECT node AS doc_id, min(label) AS cluster_id
+            FROM reach GROUP BY node ORDER BY doc_id
+        """,
         "ann_cosine_topk": """
             WITH scored AS (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
