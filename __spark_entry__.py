@@ -73,12 +73,26 @@ def entry(spark: SparkSession) -> DataFrame:
     from studiocr_spark.operators.search import global_search
     from studiocr_spark.session import ship_package
 
+    from studiocr_spark.operators.extract import assemble_doc_text
+
     ship_package(spark)
     pages = generate_pages(spark, 80, partitions=8)
     raw = extract_raw(pages, backend="bitmap")
     ok = raw.filter(F.col("error").isNull())
     blocks = blocks_from_raw(ok)
     hits = global_search(blocks, "cat").withColumn("hit", F.lit(True))
+    # the headline invariant, surfaced per row: extracted text must be
+    # byte-identical to the ground truth for every url
+    text_ok = (
+        assemble_doc_text(ok)
+        .join(pages.select("url", "text"), "url")
+        .select(
+            "url",
+            F.col("extracted_text").eqNullSafe(F.col("text")).alias(
+                "byte_identical"
+            ),
+        )
+    )
     return (
         blocks.groupBy("url")
         .agg(
@@ -88,6 +102,7 @@ def entry(spark: SparkSession) -> DataFrame:
         )
         .join(hits, "url", "left")
         .withColumn("hit", F.coalesce("hit", F.lit(False)))
+        .join(text_ok, "url")
         .orderBy("url")
     )
 

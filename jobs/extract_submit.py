@@ -23,7 +23,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# under spark-submit, --py-files puts the package on the driver path; for
+# a bare `python jobs/extract_submit.py` run, the repo root does
+try:
+    import studiocr_spark  # noqa: F401
+except ImportError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -18,8 +18,11 @@ def test_entry_returns_rows(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
     assert len(rows) == 80
-    assert set(df.columns) == {"url", "n_blocks", "n_words", "conf_sum", "hit"}
+    assert set(df.columns) == {
+        "url", "n_blocks", "n_words", "conf_sum", "hit", "byte_identical"
+    }
     assert any(r.hit for r in rows)
+    assert all(r.byte_identical for r in rows)
 
 
 def test_query_and_oracle_keys_align():
