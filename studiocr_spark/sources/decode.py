@@ -111,6 +111,13 @@ def tesseract_decode(
     preprocessing OcrEngine.py:74-85 with medianBlur(91) illumination
     normalization OcrEngine.py:63-72).
     """
+    # validate the reference's parameter domains (OcrEngine.py:35-44)
+    # BEFORE the import gate: a bad config is a config error everywhere,
+    # not a missing-dependency error
+    if not 0 <= oem <= 3:
+        raise ValueError("oem must be in [0, 3]")
+    if not 3 <= psm <= 13:
+        raise ValueError("psm must be in [3, 13]")
     try:
         import cv2  # noqa: F401
         import pytesseract
@@ -120,10 +127,6 @@ def tesseract_decode(
             "tesseract backend requires cv2/pytesseract/pdf2image "
             "(not installed in this environment); use backend='bitmap'"
         ) from exc
-    if not 0 <= oem <= 3:
-        raise ValueError("oem must be in [0, 3]")
-    if not 3 <= psm <= 13:
-        raise ValueError("psm must be in [3, 13]")
 
     import numpy as np
 

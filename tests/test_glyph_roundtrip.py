@@ -67,3 +67,18 @@ def test_corpus_docs_invertible():
         joined = " ".join(t for _png, _d, t in decoded)
         assert joined == doc["text"]
     assert n_multi > 5  # the multi-page path is exercised
+
+
+def test_tesseract_backend_param_validation():
+    """F3: oem/psm domain checks fire before the native-lib import gate."""
+    import pytest as _pytest
+
+    from studiocr_spark.sources.decode import tesseract_decode
+
+    with _pytest.raises(ValueError, match="oem"):
+        tesseract_decode(b"\x89PNG....", oem=4)
+    with _pytest.raises(ValueError, match="psm"):
+        tesseract_decode(b"\x89PNG....", psm=2)
+    # valid params in this sandbox -> clear NotImplementedError
+    with _pytest.raises(NotImplementedError, match="bitmap"):
+        tesseract_decode(b"\x89PNG....", oem=3, psm=3)
