@@ -23,7 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "3000"))
+# realistic page sizes (200-400 words), matching BENCH/BASELINE.md's
+# scaling corpus so per-round docs/sec is comparable across reports
+EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "10000"))
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -88,9 +90,14 @@ def main() -> None:
 
     # extract throughput: corpus materialized first, timing covers
     # read -> decode UDF -> blocks + page_stats
-    corpus_dir = os.path.join(tempfile.gettempdir(), f"bench_pages_{EXTRACT_DOCS}")
+    corpus_dir = os.path.join(
+        tempfile.gettempdir(), f"bench_pages_big_{EXTRACT_DOCS}"
+    )
     if not os.path.exists(corpus_dir):
-        write_pages(spark, EXTRACT_DOCS, corpus_dir, partitions=CPUS * 2)
+        write_pages(
+            spark, EXTRACT_DOCS, corpus_dir, partitions=CPUS * 2,
+            min_words=200, max_words=400,
+        )
     pages = spark.read.parquet(corpus_dir)
     t0 = time.time()
     raw = extract_raw(pages, backend="bitmap")
