@@ -133,10 +133,11 @@ INVERTED_INDEX_SCHEMA = T.StructType(
 # row per array slot.
 IMAGE_TO_DATA_FIELDS = ["left", "top", "width", "height", "conf", "text"]
 
-# per-partition completion manifest (north_rule: checkpoint/resume + lineage)
+# per-bucket completion manifest (north_rule: checkpoint/resume + lineage)
+# — written by streaming/incremental.py; bucket = pmod(xxhash64(url), N)
 MANIFEST_SCHEMA = T.StructType(
     [
-        T.StructField("part_id", T.IntegerType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
         T.StructField("n_urls", T.LongType(), False),
         T.StructField("n_pages", T.LongType(), False),
         T.StructField("n_blocks", T.LongType(), False),
@@ -144,7 +145,6 @@ MANIFEST_SCHEMA = T.StructType(
         T.StructField("docs_per_sec", T.DoubleType(), False),
         T.StructField("min_url", T.StringType(), True),
         T.StructField("max_url", T.StringType(), True),
-        T.StructField("input_path", T.StringType(), True),
         T.StructField("completed_ts", T.TimestampType(), False),
     ]
 )
