@@ -1,19 +1,30 @@
 """Local replica of the driver's correctness gate.
 
 Runs every ``queries()`` entry against its ``oracle_sql()`` via DuckDB at
-a given sf dir, compares row count, column names, and order-insensitive
-values (sorted columns, rounded floats). Usage::
+a given sf dir and compares row count, column names, and order-insensitive
+values EXACTLY the way the driver does: both results go through pandas
+(``DataFrame.toPandas()`` / ``duckdb.df()``), columns sorted by name, and
+every cell compared with its type class intact — no float rounding, no
+int/float coercion. This is deliberately strict: DuckDB HUGEINT becomes
+float64 in pandas while Spark's bigint stays int64, so an uncast
+``sum(int)`` in an oracle FAILS here exactly like it fails at the driver.
+Array-typed output columns raise (the driver's canonicalizer can't hash
+lists) and are reported as failures. Usage::
 
     python tools/check_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import math
 import os
 import sys
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -23,22 +34,42 @@ TABLES = [
 ]
 
 
-def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def _key(v):
+    """Type-tagged canonical cell value. int64 != float64, by design."""
+    if v is None:
+        return ("null",)
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
+            return ("null",)
+        return ("f", repr(f))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v))
+    if isinstance(v, str):
+        return ("s", v)
+    if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
+        return ("t", str(v))
+    if isinstance(v, bytes):
+        return ("by", v)
+    raise TypeError(
+        f"unhashable/non-scalar cell of type {type(v).__name__}: {v!r} "
+        "(the driver's canonicalizer rejects array columns — stringify "
+        "them in the entry)"
+    )
 
-    def norm_val(v):
-        if isinstance(v, bool):
-            return int(v)
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "nan"
-            return round(v, 6)
-        if isinstance(v, (list, tuple)):
-            return tuple(norm_val(x) for x in v)
-        return v
 
-    out = [tuple(norm_val(r[i]) for i in order) for r in rows]
-    return sorted(out, key=repr)
+def canon(df: pd.DataFrame) -> list[tuple]:
+    df = df.rename(columns=lambda c: c.lower())
+    df = df[sorted(df.columns)]
+    rows = [
+        tuple(_key(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    ]
+    return sorted(rows)
 
 
 def main() -> int:
@@ -66,29 +97,41 @@ def main() -> int:
             continue
         try:
             sdf = fn(spark, sf_dir)
-            spark_cols = [c.lower() for c in sdf.columns]
-            spark_rows = [tuple(r) for r in sdf.collect()]
+            spark_pdf = sdf.toPandas()
         except Exception as exc:
             failures.append(name)
             print(f"FAIL  {name}: spark error {type(exc).__name__}: {exc}")
             continue
         if name not in oracles:
-            print(f"rows  {name}: {len(spark_rows)} rows (no oracle)")
+            # rows-only entries must still canonicalize (the driver sorts
+            # and hashes these rows too — arrays crash it)
+            try:
+                canon(spark_pdf)
+            except TypeError as exc:
+                failures.append(name)
+                print(f"FAIL  {name}: rows-only entry not canonicalizable: {exc}")
+                continue
+            print(f"rows  {name}: {len(spark_pdf)} rows (no oracle)")
             continue
         try:
-            res = con.execute(oracles[name])
-            duck_cols = [d[0].lower() for d in res.description]
-            duck_rows = res.fetchall()
+            duck_pdf = con.execute(oracles[name]).df()
         except Exception as exc:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error {exc}")
             continue
-        if sorted(spark_cols) != sorted(duck_cols):
+        s_cols = sorted(c.lower() for c in spark_pdf.columns)
+        d_cols = sorted(c.lower() for c in duck_pdf.columns)
+        if s_cols != d_cols:
             failures.append(name)
-            print(f"FAIL  {name}: cols spark={spark_cols} duck={duck_cols}")
+            print(f"FAIL  {name}: cols spark={s_cols} duck={d_cols}")
             continue
-        s = normalize(spark_rows, spark_cols)
-        d = normalize(duck_rows, duck_cols)
+        try:
+            s = canon(spark_pdf)
+            d = canon(duck_pdf)
+        except TypeError as exc:
+            failures.append(name)
+            print(f"FAIL  {name}: canonicalize error: {exc}")
+            continue
         if len(s) != len(d):
             failures.append(name)
             print(f"FAIL  {name}: rowcount spark={len(s)} duck={len(d)}")
