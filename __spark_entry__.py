@@ -28,6 +28,16 @@ SEARCH_WORDS = ["spark", "filt"]  # 'filt' ⊂ 'filter': substring semantics
 NAV_CURRENT = 250  # navigation pivot doc_id
 
 
+def _r(col, ndigits: int):
+    """Portable HALF_UP rounding for hash-compared doubles.
+
+    Spark's round() is HALF_UP, DuckDB's is HALF_EVEN; floor(x*1eN+0.5)/1eN
+    is identical arithmetic in both engines. The matching oracle SQL must
+    use the same formula (never bare round())."""
+    scale = F.lit(float(10 ** ndigits))
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -128,9 +138,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (1 - F.col("l_discount"))
                 * (1 + F.col("l_tax"))
             ).cast("double").alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            _r(F.avg("l_quantity"), 6).alias("avg_qty"),
+            _r(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            _r(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -162,7 +172,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             F.col("o_orderdate").cast("string").alias("o_orderdate"),
-            F.round("revenue", 4).alias("revenue"),
+            _r(F.col("revenue"), 4).alias("revenue"),
         )
     )
 
@@ -189,7 +199,7 @@ def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
             F.count("*").alias("n_items"),
         )
-        .select("n_name", F.round("revenue", 4).alias("revenue"), "n_items")
+        .select("n_name", _r(F.col("revenue"), 4).alias("revenue"), "n_items")
         .orderBy(F.desc("revenue"))
     )
 
@@ -227,7 +237,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         gapped.groupBy("user_id", "session_no")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("session_value"),
+            _r(F.sum("value"), 4).alias("session_value"),
         )
     )
 
@@ -434,7 +444,7 @@ def j7_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = accuracy_scores(pred, exp, tol=1)
     return out.select(
-        "url", "n_correct", "n_expected", F.round("score", 6).alias("score")
+        "url", "n_correct", "n_expected", _r(F.col("score"), 6).alias("score")
     )
 
 
@@ -487,7 +497,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8)
     out = brute_force_topk(queries, emb, k=5)
     return out.select(
-        "query_id", "neighbor_id", F.round("cosine", 3).alias("cosine"), "rank"
+        "query_id", "neighbor_id", _r(F.col("cosine"), 3).alias("cosine"), "rank"
     )
 
 
@@ -552,7 +562,7 @@ def running_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id",
         "event_id",
-        F.round(F.sum("value").over(w), 4).alias("running_value"),
+        _r(F.sum("value").over(w), 4).alias("running_value"),
     )
 
 
@@ -563,7 +573,7 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            _r(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
 
@@ -605,8 +615,8 @@ def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            _r(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            _r(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
             F.count("*").alias("n"),
         )
     )
@@ -672,7 +682,7 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window_start").cast("string").alias("window_start"),
         "event_type",
         "n",
-        F.round("total_value", 4).alias("total_value"),
+        _r(F.col("total_value"), 4).alias("total_value"),
     )
 
 
@@ -700,11 +710,17 @@ def extract_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = extract_raw(pages, backend="bitmap").filter(
         F.col("error").isNull()
     )
+    # the driver's canonicalizer sorts/hashes cells — array columns are
+    # unhashable there, so both arrays are flattened to scalar strings
     return page_stats_from_raw(raw).select(
         "url",
         "page_no",
-        F.col("page_stats.unique_texts").alias("unique_texts"),
-        F.col("page_stats.ascii_histogram").alias("ascii_histogram"),
+        F.array_join(F.col("page_stats.unique_texts"), ",").alias(
+            "unique_texts"
+        ),
+        F.array_join(
+            F.col("page_stats.ascii_histogram").cast("array<string>"), ","
+        ).alias("ascii_histogram"),
     )
 
 
@@ -769,9 +785,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(l_extendedprice) AS DOUBLE) AS sum_base_price,
                    CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS sum_disc_price,
                    CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE) AS sum_charge,
-                   round(avg(l_quantity), 6) AS avg_qty,
-                   round(avg(l_extendedprice), 6) AS avg_price,
-                   round(avg(l_discount), 6) AS avg_disc,
+                   floor(avg(l_quantity) * 1e6 + 0.5) / 1e6 AS avg_qty,
+                   floor(avg(l_extendedprice) * 1e6 + 0.5) / 1e6 AS avg_price,
+                   floor(avg(l_discount) * 1e6 + 0.5) / 1e6 AS avg_disc,
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
@@ -780,7 +796,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": """
             SELECT l_orderkey,
                    CAST(o_orderdate AS VARCHAR) AS o_orderdate,
-                   round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS revenue
+                   floor(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -793,7 +809,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_supplier_volume": """
             SELECT n_name,
-                   round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS revenue,
+                   floor(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS revenue,
                    count(*) AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -822,14 +838,14 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), sessions AS (
               SELECT user_id, value,
-                     sum(new_session) OVER (PARTITION BY user_id
+                     CAST(sum(new_session) OVER (PARTITION BY user_id
                        ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS session_no
+                       AS BIGINT) AS session_no
               FROM gapped
             )
             SELECT user_id, session_no, count(*) AS n_events,
-                   round(sum(value), 4) AS session_value
+                   floor(sum(value) * 1e4 + 0.5) / 1e4 AS session_value
             FROM sessions GROUP BY user_id, session_no
         """,
         "a1_word_counts": f"""
@@ -862,7 +878,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_BLOCKS_SQL}) GROUP BY doc_id, text
         """,
         "a7_docs_per_source": """
-            SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY source
         """,
         "j3_keyword_search": f"""
@@ -877,7 +894,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR)
                      AS window_start,
                    event_type, count(*) AS n,
-                   round(sum(value), 4) AS total_value
+                   floor(sum(value) * 1e4 + 0.5) / 1e4 AS total_value
             FROM events GROUP BY 1, 2
         """,
         "j4_indoc_matches": f"""
@@ -912,11 +929,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT url, term, count(*) AS tf FROM m GROUP BY url, term
             )
             SELECT tf.url AS url,
-                   round(sum(
+                   floor(sum(
                      ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
                      * tf.tf
                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avg_dl))
-                   ), 6) AS score
+                   ) * 1e6 + 0.5) / 1e6 AS score
             FROM tf
             JOIN dft USING (term)
             JOIN dl ON dl.url = tf.url
@@ -968,9 +985,11 @@ def oracle_sql() -> dict[str, str]:
             ), n_exp AS (
               SELECT url, count(*) AS n_expected FROM exp GROUP BY url
             )
-            SELECT per.url AS url, sum(per.correct) AS n_correct,
+            SELECT per.url AS url,
+                   CAST(sum(per.correct) AS BIGINT) AS n_correct,
                    any_value(n_exp.n_expected) AS n_expected,
-                   round(sum(per.correct) / any_value(n_exp.n_expected), 6)
+                   floor(CAST(sum(per.correct) AS DOUBLE)
+                         / any_value(n_exp.n_expected) * 1e6 + 0.5) / 1e6
                      AS score
             FROM per_pred per JOIN n_exp ON per.url = n_exp.url
             GROUP BY per.url
@@ -985,15 +1004,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "running_window_sum": """
             SELECT user_id, event_id,
-                   round(sum(value) OVER (PARTITION BY user_id
+                   floor(sum(value) OVER (PARTITION BY user_id
                      ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
-                     AS running_value
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     * 1e4 + 0.5) / 1e4 AS running_value
             FROM events
         """,
         "rollup_orders": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-                   round(sum(o_totalprice), 2) AS total
+                   floor(CAST(sum(o_totalprice) AS DOUBLE) * 1e2 + 0.5) / 1e2
+                     AS total
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
@@ -1017,8 +1037,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "percentile_prices": """
             SELECT o_orderstatus,
-                   round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-                   round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+                   floor(quantile_cont(o_totalprice, 0.5) * 1e4 + 0.5) / 1e4
+                     AS p50,
+                   floor(quantile_cont(o_totalprice, 0.9) * 1e4 + 0.5) / 1e4
+                     AS p90,
                    count(*) AS n
             FROM orders GROUP BY o_orderstatus
         """,
@@ -1053,10 +1075,15 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY node ORDER BY doc_id
         """,
         "ann_cosine_topk": """
+            -- DOUBLE[] cast: list_cosine_similarity on float[] returns a
+            -- float32, which widens to e.g. 0.2549999952 in pandas while
+            -- Spark's fold is double-precision. Rounding mirrors the Spark
+            -- side exactly: operator floor-rounds to 6dp, entry to 3dp.
             WITH scored AS (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                     list_cosine_similarity(q.embedding, c.embedding)
-                       AS cos_raw
+                     list_cosine_similarity(
+                       CAST(q.embedding AS DOUBLE[]),
+                       CAST(c.embedding AS DOUBLE[])) AS cos_raw
               FROM embeddings q JOIN embeddings c
                 ON q.vec_id < 8 AND q.vec_id != c.vec_id
             ), ranked AS (
@@ -1066,7 +1093,10 @@ def oracle_sql() -> dict[str, str]:
                        AS rank
               FROM scored
             )
-            SELECT query_id, neighbor_id, round(cos_raw, 3) AS cosine, rank
+            SELECT query_id, neighbor_id,
+                   floor(floor(cos_raw * 1e6 + 0.5) / 1e6 * 1e3 + 0.5) / 1e3
+                     AS cosine,
+                   rank
             FROM ranked WHERE rank <= 5
         """,
         "lang_id": _lang_id_oracle(),
@@ -1133,7 +1163,7 @@ def _minhash_oracle(
           JOIN (SELECT doc_id, list(shingle) AS shs FROM sh GROUP BY doc_id) sb
             ON sb.doc_id = c.doc_b
         )
-        SELECT doc_a, doc_b, round(j, 6) AS jaccard
+        SELECT doc_a, doc_b, floor(j * 1e6 + 0.5) / 1e6 AS jaccard
         FROM verified WHERE j >= {threshold}
     """
 
@@ -1184,7 +1214,7 @@ def _ngram_jaccard_oracle(
           JOIN (SELECT doc_id, list(shingle) AS shs FROM sh GROUP BY doc_id) sb
             ON sb.doc_id = c.doc_b
         )
-        SELECT doc_a, doc_b, round(j, 6) AS jaccard
+        SELECT doc_a, doc_b, floor(j * 1e6 + 0.5) / 1e6 AS jaccard
         FROM verified WHERE j >= {threshold}
     """
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import words_of
+from .textstats import round6, words_of
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -173,7 +173,7 @@ def jaccard_verify(
         )
     )
     return out.filter(F.col("jaccard") >= threshold).select(
-        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+        "doc_a", "doc_b", round6(F.col("jaccard")).alias("jaccard")
     )
 
 

@@ -28,6 +28,8 @@ import operator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .textstats import round6
+
 
 def split_query(query: str, case_sensitive: bool = False) -> list[str]:
     """Reference query tokenization (ListDocuments.py:207, DocWindow.py:357-360)."""
@@ -238,7 +240,7 @@ def bm25_search(
             ),
         )
         .groupBy("url")
-        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        .agg(round6(F.sum("contrib")).alias("score"))
         .orderBy(F.desc("score"), F.asc("url"))
     )
     return scored.limit(limit) if limit else scored

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .textstats import round6
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Deterministic sequential-fold dot product (double)."""
@@ -82,7 +84,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round("cos_raw", 6).alias("cosine"),
+            round6(F.col("cos_raw")).alias("cosine"),
             "rank",
         )
     )
@@ -192,7 +194,7 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round("cos_raw", 6).alias("cosine"),
+            round6(F.col("cos_raw")).alias("cosine"),
             "rank",
         )
     )
@@ -281,7 +283,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round("cos_raw", 6).alias("cosine"),
+            round6(F.col("cos_raw")).alias("cosine"),
             "rank",
         )
     )
@@ -313,5 +315,5 @@ def embedding_near_dups(
         .distinct()
     )
     return pairs.filter(F.col("cos_raw") >= threshold).select(
-        "vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine")
+        "vec_a", "vec_b", round6(F.col("cos_raw")).alias("cosine")
     )

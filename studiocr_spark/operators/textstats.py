@@ -28,14 +28,21 @@ STOPWORDS = {
 BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 
-def round6(col: Column) -> Column:
-    """Engine-portable 6-dp rounding: floor(x*1e6 + 0.5)/1e6.
+def portable_round(col: Column, ndigits: int) -> Column:
+    """Engine-portable rounding: floor(x*1eN + 0.5)/1eN.
 
     Spark's round() is HALF_UP, DuckDB's is HALF_EVEN — values landing
     exactly on a half (e.g. 0.5203125) diverge. floor arithmetic is
-    identical in both engines on identical doubles.
+    identical in both engines on identical doubles. Every hash-compared
+    double in the repo (and its oracle SQL) uses this formula.
     """
-    return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+    scale = F.lit(float(10 ** ndigits))
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
+def round6(col: Column) -> Column:
+    """Portable 6-dp rounding (see portable_round)."""
+    return portable_round(col, 6)
 
 
 def words_of(text_col: Column) -> Column:

@@ -57,11 +57,7 @@ def test_query_matches_oracle_sample(spark, name):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     sdf = entry_mod.queries()[name](spark, d)
-    res = con.execute(entry_mod.oracle_sql()[name])
-    duck_cols = [x[0].lower() for x in res.description]
-    duck_rows = res.fetchall()
-    from tools.check_oracle import normalize
+    duck_pdf = con.execute(entry_mod.oracle_sql()[name]).df()
+    from tools.check_oracle import canon
 
-    s = normalize([tuple(r) for r in sdf.collect()],
-                  [c.lower() for c in sdf.columns])
-    assert s == normalize(duck_rows, duck_cols)
+    assert canon(sdf.toPandas()) == canon(duck_pdf)
