@@ -99,18 +99,32 @@ def main() -> None:
             min_words=200, max_words=400,
         )
     pages = spark.read.parquet(corpus_dir)
-    t0 = time.time()
-    raw = extract_raw(pages, backend="bitmap")
+    from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
-    ok = raw.filter(F.col("error").isNull())
-    _force(blocks_from_raw(ok))
-    _force(
-        page_stats_from_raw(ok).select(
-            "url", "page_no", "page_text", "page_stats"
+    # Protocol matches tools/bench_scaling.py: warmed, min-of-N, and the
+    # decode UDF runs ONCE per pass — raw is persisted so blocks and
+    # page_stats both read the cached rows (run_extract does the same).
+    # An uncached two-action pass decodes the corpus twice and
+    # under-reports docs/sec ~2x plus cold-start noise (round-1 lesson).
+    def one_pass() -> float:
+        raw = extract_raw(pages, backend="bitmap").persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-    )
-    extract_sec = time.time() - t0
+        t0 = time.time()
+        ok = raw.filter(F.col("error").isNull())
+        _force(blocks_from_raw(ok))
+        _force(
+            page_stats_from_raw(ok).select(
+                "url", "page_no", "page_text", "page_stats"
+            )
+        )
+        sec = time.time() - t0
+        raw.unpersist()
+        return sec
+
+    one_pass()  # warm decode workers + codegen for this exact plan
+    extract_sec = min(one_pass() for _ in range(2))
     timings["extract_pipeline"] = round(extract_sec, 3)
     docs_per_sec = EXTRACT_DOCS / extract_sec
 

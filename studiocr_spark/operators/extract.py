@@ -241,13 +241,25 @@ def run_extract(
     pages: DataFrame,
     backend: str = "bitmap",
     num_partitions: int | None = None,
+    persist: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Convenience: (ocr_pages_df, ocr_blocks_df) from a pages table.
 
     ``ocr_pages`` carries page_stats computed shuffle-free from the raw
     array column (operators/stats.py).
+
+    ``persist`` (default True) caches the decoded raw rows so a caller
+    that materializes BOTH outputs pays the decode UDF once, not twice —
+    at 100 TB the decode is the whole bill. Callers that want a pure
+    lazy plan (e.g. to write a single output) can pass persist=False;
+    otherwise call ``spark.catalog.clearCache()`` (or unpersist via the
+    returned frames' lineage) when done.
     """
     raw = extract_raw(pages, backend=backend, num_partitions=num_partitions)
+    if persist:
+        from pyspark import StorageLevel
+
+        raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
     ok = raw.filter(F.col("error").isNull())
     ocr_pages = ok.select(
         "url", "page_no", "image", "page_text", "page_stats"
