@@ -361,15 +361,21 @@ def ngram_jaccard_pairs(
     ``max_doc_freq`` drops shingles appearing in more docs — the
     explicit skew guard: a stopword shingle in 10^9 docs would otherwise
     create a quadratic join partition.
+
+    The guard broadcasts the HOT set (df > max_doc_freq) and anti-joins
+    it away. Hot shingles are tiny by construction (each needs more than
+    max_doc_freq occurrences, so there are at most |corpus shingle
+    instances| / max_doc_freq of them); the rare set is ~every distinct
+    shingle — billions of rows at 100 TB, never broadcastable.
     """
     sh = shingle_table(docs, text_col, n)
-    rare = (
+    hot = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= max_doc_freq)
+        .filter(F.col("df") > max_doc_freq)
         .select("shingle")
     )
-    sh = sh.join(F.broadcast(rare), "shingle")
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     pairs = (
         sh.alias("a")
         .join(sh.alias("b"), "shingle")

@@ -90,44 +90,50 @@ def brute_force_topk(
     )
 
 
+def _plane_signs(dim: int, n_planes: int, table: int) -> list[list[float]]:
+    """Driver-side ±1 sign matrix for the deterministic hyperplanes.
+
+    Component j of plane i = +1/-1 by the parity of hex digit (j mod 32)
+    of md5(f"plane-{table}-{i}-{j//32}") — fully derived from
+    (table, i, j), no RNG state, identical across engines and runs.
+    """
+    import hashlib
+
+    planes: list[list[float]] = []
+    for i in range(n_planes):
+        row: list[float] = []
+        for chunk in range((dim + 31) // 32):
+            h = hashlib.md5(
+                f"plane-{table}-{i}-{chunk}".encode()
+            ).hexdigest()
+            row.extend(1.0 if int(d, 16) % 2 == 1 else -1.0 for d in h)
+        planes.append(row[:dim])
+    return planes
+
+
 def hyperplane_signature(
     vec_col: Column, dim: int, n_planes: int = 8, table: int = 0
 ) -> Column:
     """Deterministic random-hyperplane LSH signature (int bucket id).
 
-    Plane i component j = +1/-1 by the parity of hex digit (j mod 32) of
-    md5("plane-t-i-chunk"), i.e. fully derived from (table, i, j) — no
-    RNG state, identical across engines and runs. Signature bit i = sign
-    of the projection. ``table`` seeds an independent hash table for
-    OR-amplified multi-table LSH.
+    Signature bit i = sign of the projection onto plane i. The planes
+    are pure functions of (table, i, j) — see _plane_signs — and are
+    embedded as array literals, so each bit costs one multiply-add fold.
+    (Computing the signs with md5 expressions inside the per-element
+    lambda costs dim x n_planes x n_tables md5 evaluations per vector:
+    Catalyst does not CSE inside HOF lambdas — measured ~5x slower on
+    the ann_lsh_topk bench.) ``table`` seeds an independent hash table
+    for OR-amplified multi-table LSH; bucket ids are identical to the
+    expression-level formulation this replaces.
     """
     bits = []
-    for i in range(n_planes):
-        # per-plane sign array: digit parity of a repeated md5 stream
+    for i, signs in enumerate(_plane_signs(dim, n_planes, table)):
+        # F.lit(list) -> ONE ArrayType literal node (not a dim-child
+        # CreateArray) — keeps Catalyst analysis/codegen time flat in dim
+        plane = F.lit(signs)
         proj = F.aggregate(
             F.zip_with(
-                vec_col,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda v, j: v.cast("double")
-                * F.when(
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat(
-                                    F.lit(f"plane-{table}-{i}-"),
-                                    F.floor(j / 32).cast("string"),
-                                )
-                            ),
-                            (j % 32) + 1,
-                            1,
-                        ),
-                        16,
-                        10,
-                    ).cast("int")
-                    % 2
-                    == 1,
-                    1.0,
-                ).otherwise(-1.0),
+                vec_col, plane, lambda v, s: v.cast("double") * s
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
