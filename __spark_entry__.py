@@ -470,6 +470,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_t(spark, sf_dir, "documents"), bits=16)
 
 
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs within Hamming distance 3 of the 16-bit simhash —
+    pigeonhole-banded blocking, so the pair set is EXACT and the oracle
+    is the quadratic all-pairs SQL."""
+    from studiocr_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(
+        _t(spark, sf_dir, "documents"), bits=16, max_hamming=3
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from studiocr_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -502,29 +513,68 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (rows-only: recall is algorithm-defined)."""
-    from studiocr_spark.operators.similarity import lsh_topk
+    """LSH-bucketed ANN recall audit (rows-only: recall is
+    algorithm-defined, but each row encodes measured recall@5 vs exact
+    brute force and whether it meets the 0.6 floor)."""
+    from studiocr_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        recall_at_k,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return lsh_topk(queries, emb, dim=64, k=5, n_planes=6)
+    approx = lsh_topk(
+        queries, emb, dim=64, k=5, n_planes=4, n_tables=8, multiprobe=True
+    )
+    exact = brute_force_topk(queries, emb, k=5)
+    return recall_at_k(approx, exact, floor=0.6)
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-cell ANN (rows-only: recall depends on the probe budget)."""
-    from studiocr_spark.operators.similarity import ivf_topk
+    """IVF-cell ANN recall audit (rows-only: recall depends on the probe
+    budget; rows encode measured recall@5 vs the 0.6 floor)."""
+    from studiocr_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        recall_at_k,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
+    approx = ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
+    exact = brute_force_topk(queries, emb, k=5)
+    return recall_at_k(approx, exact, floor=0.6)
 
 
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (rows-only: LSH-blocked)."""
-    from studiocr_spark.operators.similarity import embedding_near_dups as nd
+    """Embedding near-dup recall audit (rows-only): LSH-blocked pairs vs
+    the exact all-pairs truth — one row, recall + floor check.
+    Precision is 1.0 by construction (candidates verify with exact
+    cosine), so recall is the only failure axis."""
+    from studiocr_spark.operators.similarity import (
+        embedding_near_dups as nd,
+        exact_near_dup_pairs,
+    )
+    from studiocr_spark.operators.textstats import round6
 
-    return nd(_t(spark, sf_dir, "embeddings"), dim=64, threshold=0.35,
-              n_planes=4)
+    emb = _t(spark, sf_dir, "embeddings")
+    found = nd(emb, dim=64, threshold=0.35, n_planes=4, n_tables=8)
+    truth = exact_near_dup_pairs(emb, threshold=0.35)
+    # lazy: aggregate both sides, cross-join the two 1-row frames
+    # (count the truth-intersection rather than trusting precision == 1)
+    inter = found.join(
+        truth.select("vec_a", "vec_b"), ["vec_a", "vec_b"], "left_semi"
+    )
+    f = inter.agg(F.count("*").cast("long").alias("n_found"))
+    t = truth.agg(F.count("*").cast("long").alias("n_true"))
+    recall = F.col("n_found") / F.col("n_true")
+    return f.crossJoin(t).select(
+        "n_found",
+        "n_true",
+        round6(recall).alias("recall"),
+        (recall >= 0.6).alias("passed"),
+    )
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -748,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_clusters": dedup_clusters,
         "ann_cosine_topk": ann_cosine_topk,
@@ -1055,6 +1106,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
+        "dedup_simhash_pairs": f"""
+            WITH sh AS ({_simhash_oracle()})
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
         "dedup_clusters": f"""
             WITH RECURSIVE pairs AS (

@@ -30,30 +30,91 @@ class ImagePipeline:
     """Ordered, named steps over ndarray images (ImagePipeline.py:78-100)."""
 
     def __init__(self) -> None:
-        self._steps: list[tuple[str, Callable, dict, int | None]] = []
+        self._steps: list[
+            tuple[str, Callable | str, dict, int | None, Callable | None]
+        ] = []
 
     def add_step(
         self,
         name: str,
-        fn: Callable,
+        fn: Callable | str,
         kwargs: dict | None = None,
         capture_index: int | None = None,
+        outer: Callable | None = None,
     ) -> "ImagePipeline":
         """Append a step; ``capture_index`` selects from tuple returns
-        (the reference's tuple-return capture, ImagePipeline.py:102-145)."""
-        self._steps.append((name, fn, kwargs or {}, capture_index))
+        (the reference's tuple-return capture, ImagePipeline.py:102-145).
+
+        ``fn`` may instead be a METHOD NAME (string) dispatched on the
+        object returned by ``outer(img)`` — the reference's PIL branch
+        (ImagePipeline.py:133-140): wrap the array, call the named
+        method with ``kwargs``, convert the result back to ndarray.
+        A string step requires ``outer`` and vice versa, mirroring the
+        reference's add_step validation (ImagePipeline.py:90-96) —
+        except we raise instead of print-and-return.
+        """
+        if isinstance(fn, str) != (outer is not None):
+            raise TypeError(
+                "a string step needs outer=<wrapper>; a callable forbids it"
+            )
+        self._steps.append((name, fn, kwargs or {}, capture_index, outer))
         return self
 
     @property
     def step_names(self) -> list[str]:
         return [s[0] for s in self._steps]
 
-    def run(self, img: np.ndarray) -> np.ndarray:
+    def size(self) -> int:
+        """Number of steps (ImagePipeline.py:38-40)."""
+        return len(self._steps)
+
+    def clear(self) -> None:
+        """Erase all steps (ImagePipeline.py:46-48)."""
+        self._steps = []
+
+    def copy_steps(
+        self,
+        other: "ImagePipeline",
+        start: int = 0,
+        end: int | None = None,
+    ) -> "ImagePipeline":
+        """Replace this pipeline's steps with ``other``'s ``[start:end]``
+        slice (ImagePipeline.py:50-77). Deliberate fix vs the reference:
+        its ``end > size or end is None`` check raises TypeError for the
+        documented default ``end=None`` — here ``None`` means
+        copy-to-end, and out-of-range bounds raise instead of printing.
+        """
+        n = other.size()
+        if end is None:
+            end = n
+        if not (0 <= start <= end <= n):
+            raise ValueError(
+                f"copy_steps slice [{start}:{end}] out of range for "
+                f"pipeline of {n} steps"
+            )
+        self._steps = list(other._steps[start:end])
+        return self
+
+    def run(self, img: np.ndarray, until: int | None = None) -> np.ndarray:
+        """Run the chain; ``until`` stops after that many steps — the
+        reference's partial-run surface (ImagePipeline.py:102-115), with
+        raise-instead-of-print on a bad index."""
+        if until is not None and not (0 <= until <= len(self._steps)):
+            raise IndexError(
+                f"until={until} outside pipeline of {len(self._steps)} steps"
+            )
         out = img
-        for name, fn, kwargs, capture in self._steps:
-            result = fn(out, **kwargs)
+        stop = len(self._steps) if until is None else until
+        for name, fn, kwargs, capture, outer in self._steps[:stop]:
+            if outer is not None:
+                result = getattr(outer(out), fn)(**kwargs)
+            else:
+                result = fn(out, **kwargs)
             if capture is not None:
                 result = result[capture]
+            if outer is not None and not isinstance(result, np.ndarray):
+                # mirror the reference's np.asarray() after PIL steps
+                result = np.asarray(result)
             if not isinstance(result, np.ndarray):
                 raise TypeError(f"step {name!r} did not produce an ndarray")
             out = result

@@ -240,27 +240,43 @@ def simhash_near_dups(
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs within Hamming distance.
 
-    Pairs are blocked by half-signature bands (a pair within distance d
-    shares at least one exact half when d < 2), then verified with
-    bit_count(xor). For the small oracle corpora the verification join is
-    the whole cost; at scale the band join prunes the quadratic space.
+    Blocking is EXACT by pigeonhole: the signature is split into
+    ``max_hamming + 1`` disjoint bit-bands, so any pair within distance
+    ``max_hamming`` has at least one band with zero differing bits and
+    meets in that band's bucket. (The earlier 2-half variant only
+    guaranteed recall for distance < 2 while defaulting to 3.)
+    Candidates meet on an equi-join keyed by (band index, band value) —
+    one shuffle on uniform keys — then verify with bit_count(xor).
     """
     sh = simhash(docs, text_col, bits)
-    half = bits // 2
+    n_bands = max_hamming + 1
+    if n_bands > bits:
+        raise ValueError("max_hamming + 1 bands need at least that many bits")
+    base, rem = divmod(bits, n_bands)
+    widths = [base + (1 if i < rem else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                (
+                    F.shiftright("simhash", offsets[i]) % (2 ** widths[i])
+                ).alias("val"),
+            )
+            for i in range(n_bands)
+        ]
+    )
     banded = sh.select(
+        "doc_id", "simhash", F.explode(bands).alias("bk")
+    ).select(
         "doc_id",
         "simhash",
-        (F.col("simhash") % (2 ** half)).alias("lo"),
-        (F.col("simhash") / (2 ** half)).cast("long").alias("hi"),
-    )
-    lo_pairs = banded.alias("a").join(
-        banded.alias("b"), F.col("a.lo") == F.col("b.lo")
-    )
-    hi_pairs = banded.alias("a").join(
-        banded.alias("b"), F.col("a.hi") == F.col("b.hi")
+        F.col("bk.band").alias("band"),
+        F.col("bk.val").alias("val"),
     )
     cand = (
-        lo_pairs.unionByName(hi_pairs)
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "val"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),

@@ -152,6 +152,7 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 8,
     n_tables: int = 4,
+    multiprobe: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -161,26 +162,35 @@ def lsh_topk(
     OR-amplified multi-table LSH: a candidate qualifies by matching the
     query's bucket in ANY of ``n_tables`` independent tables (fewer
     planes per table -> wider buckets; more tables -> higher recall).
-    Both are the standard recall/cost dials.
+    With ``multiprobe`` the QUERY side also probes every bucket at
+    Hamming distance 1 from its signature (single-plane sign flips —
+    multi-probe LSH, Lv et al. VLDB 2007): per-table collision for a
+    pair at angle theta rises from q^b to q^b + b*q^(b-1)*(1-q),
+    q = 1 - theta/pi, at (b+1)x query-side bucket fan-out and ZERO extra
+    corpus-side cost — the corpus index is untouched, which is what
+    matters at 10^9 vectors.
     """
     from pyspark.sql import Window
 
-    def with_buckets(df: DataFrame, ident: str, vec_alias: str) -> DataFrame:
-        sigs = F.array(
-            *[
-                hyperplane_signature(F.col(vec_col), dim, n_planes, table=t)
-                + t * (2 ** n_planes)  # disjoint bucket spaces per table
-                for t in range(n_tables)
-            ]
-        )
+    def with_buckets(df: DataFrame, ident: str, vec_alias: str, probe: bool) -> DataFrame:
+        per_table = []
+        for t in range(n_tables):
+            sig = hyperplane_signature(F.col(vec_col), dim, n_planes, table=t)
+            base = t * (2 ** n_planes)  # disjoint bucket spaces per table
+            per_table.append(sig + base)
+            if probe:
+                per_table.extend(
+                    sig.bitwiseXOR(F.lit(1 << b)) + base
+                    for b in range(n_planes)
+                )
         return df.select(
             F.col(id_col).alias(ident),
             F.col(vec_col).alias(vec_alias),
-            F.explode(sigs).alias("bucket"),
+            F.explode(F.array(*per_table)).alias("bucket"),
         )
 
-    q = with_buckets(queries, "query_id", "qv")
-    c = with_buckets(corpus, "neighbor_id", "cv")
+    q = with_buckets(queries, "query_id", "qv", multiprobe)
+    c = with_buckets(corpus, "neighbor_id", "cv", False)
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -295,19 +305,95 @@ def ivf_topk(
     )
 
 
+def recall_at_k(
+    approx: DataFrame, exact: DataFrame, floor: float = 0.6
+) -> DataFrame:
+    """(query_id, n_hit, n_exact, recall, passed): per-query recall of an
+    ANN result against the exact ``brute_force_topk`` ground truth.
+
+    The self-check for rows-only ANN entries: recall is algorithm-defined
+    (no SQL oracle), but a regression to 0% must not pass silently — the
+    driver's row content encodes the measured recall and whether it meets
+    the floor, and pytest asserts ``passed`` on the seeded corpus.
+    """
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .fillna(0, "n_hit")
+    )
+    recall = F.col("n_hit") / F.col("n_exact")
+    return per_q.select(
+        "query_id",
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        round6(recall).alias("recall"),
+        (recall >= floor).alias("passed"),
+    ).orderBy("query_id")
+
+
+def exact_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_a, vec_b, cosine): EXACT all-pairs ground truth for near-dup
+    recall audits. O(N^2) — audit/test scale only; the production path is
+    ``embedding_near_dups`` (LSH-blocked)."""
+    v = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    )
+    return (
+        v.alias("a")
+        .join(v.alias("b"), F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            cosine_sim(F.col("a.v"), F.col("b.v")).alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= threshold)
+        .select("vec_a", "vec_b", round6(F.col("cos_raw")).alias("cosine"))
+    )
+
+
 def embedding_near_dups(
     vectors: DataFrame,
     dim: int,
     threshold: float = 0.95,
     n_planes: int = 8,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(vec_a, vec_b, cosine) pairs above threshold — embedding-cosine
-    near-dup detection, LSH-blocked then exactly verified."""
-    sig = hyperplane_signature(F.col(vec_col), dim, n_planes)
+    near-dup detection, LSH-blocked then exactly verified.
+
+    ``n_tables`` OR-amplifies recall exactly as in :func:`lsh_topk`:
+    a pair is a candidate if it collides in ANY table. Precision is
+    always 1.0 (candidates verify with exact cosine); recall for a pair
+    at angle theta is ``1 - (1 - (1 - theta/pi)^n_planes)^n_tables``.
+    """
+    sigs = F.array(
+        *[
+            hyperplane_signature(F.col(vec_col), dim, n_planes, table=t)
+            + t * (2 ** n_planes)
+            for t in range(n_tables)
+        ]
+    )
     v = vectors.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), sig.alias("bucket")
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.explode(sigs).alias("bucket"),
     )
     pairs = (
         v.alias("a")

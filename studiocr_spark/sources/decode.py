@@ -102,6 +102,7 @@ def tesseract_decode(
     psm: int = 3,
     best: bool = True,
     preprocessing: bool = False,
+    tessdata_root: str | None = None,
 ) -> Decoded:
     """Production backend: rasterize + preprocess + tesseract.
 
@@ -110,6 +111,13 @@ def tesseract_decode(
     model dir OcrEngine.py:49-54; optional grayscale + flat-field
     preprocessing OcrEngine.py:74-85 with medianBlur(91) illumination
     normalization OcrEngine.py:63-72).
+
+    ``best`` selects the best/fast traineddata dir exactly as
+    OcrEngine.py:49-54 does via ``--tessdata-dir``; ``tessdata_root``
+    (or $STUDIOCR_TESSDATA) points at the directory holding ``best/``
+    and ``fast/``. When no root is configured the flag is a no-op on the
+    system default models — same as a reference checkout without the
+    bundled tessdata.
     """
     # validate the reference's parameter domains (OcrEngine.py:35-44)
     # BEFORE the import gate: a bad config is a config error everywhere,
@@ -146,6 +154,14 @@ def tesseract_decode(
     else:
         raise ValueError(f"cannot decode payload kind {kind!r}")
 
+    import os
+
+    config = f"--oem {oem} --psm {psm}"
+    root = tessdata_root or os.environ.get("STUDIOCR_TESSDATA")
+    if root:
+        sub = "best" if best else "fast"
+        config += f' --tessdata-dir "{os.path.join(root, sub)}"'
+
     out: Decoded = []
     for img in images:
         rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
@@ -157,7 +173,6 @@ def tesseract_decode(
                     gray * (blur.mean() / blur), 0, 255
                 ).astype(np.uint8)
         ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 100])
-        config = f"--oem {oem} --psm {psm}"
         data = pytesseract.image_to_data(
             rgb, config=config, output_type=pytesseract.Output.DICT
         )

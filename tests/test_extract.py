@@ -163,3 +163,30 @@ def test_hof_expr_agrees_with_udf_stats(extracted):
         assert sorted(u["unique_chars"]) == sorted(h["unique_chars"])
         assert u["ascii_histogram"] == h["ascii_histogram"]
         assert u["conf_by_text"] == h["conf_by_text"]
+
+
+def test_tesseract_jpeg_q100():
+    """S4 parity (OcrEngine.py:82-83): the tesseract backend stores
+    JPEG q100 page images. cv2-gated — sandbox has no JPEG codec, so
+    assert the documented NotImplementedError gate instead."""
+    import pytest
+
+    from studiocr_spark.functions.png import encode_png
+    from studiocr_spark.sources.decode import tesseract_decode
+
+    try:
+        import cv2  # noqa: F401
+        import pytesseract  # noqa: F401
+        from pdf2image import convert_from_bytes  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            tesseract_decode(b"%PDF-fake")
+        return
+
+    import numpy as np
+
+    png = encode_png(np.full((32, 32), 200, dtype=np.uint8))
+    pages = tesseract_decode(png)
+    assert len(pages) == 1
+    blob = pages[0][0]
+    assert blob[:3] == b"\xff\xd8\xff"  # JPEG SOI marker

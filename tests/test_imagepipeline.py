@@ -36,6 +36,72 @@ def test_pipeline_rejects_non_ndarray():
         p.run(np.zeros((2, 2), dtype=np.uint8))
 
 
+def test_partial_run_until():
+    """ImagePipeline.py:102-115 run(until=) — stop mid-chain."""
+    img = np.full((4, 4), 100, dtype=np.uint8)
+    p = (
+        ImagePipeline()
+        .add_step("invert", invert)
+        .add_step("threshold", threshold, {"thresh": 128}, capture_index=1)
+    )
+    assert (p.run(img, until=0) == 100).all()  # no steps
+    assert (p.run(img, until=1) == 155).all()  # invert only
+    assert (p.run(img, until=2) == 255).all()  # full chain
+    with pytest.raises(IndexError):
+        p.run(img, until=3)
+    with pytest.raises(IndexError):
+        p.run(img, until=-1)
+
+
+def test_copy_steps_slice_and_clear():
+    """ImagePipeline.py:50-77 copy_steps + :38-48 size/clear."""
+    src = (
+        ImagePipeline()
+        .add_step("invert", invert)
+        .add_step("threshold", threshold, {"thresh": 128}, capture_index=1)
+        .add_step("flat_field", flat_field)
+    )
+    dst = ImagePipeline().copy_steps(src, start=0, end=2)
+    assert dst.step_names == ["invert", "threshold"]
+    assert dst.size() == 2
+    # end=None copies to the end (fixed vs the reference's TypeError)
+    assert ImagePipeline().copy_steps(src).step_names == src.step_names
+    with pytest.raises(ValueError):
+        ImagePipeline().copy_steps(src, start=0, end=4)
+    dst.clear()
+    assert dst.size() == 0 and dst.step_names == []
+
+
+class _Wrapped:
+    """Stand-in for the reference's PIL object (ImagePipeline.py:133-140):
+    wraps an array and exposes image methods by name."""
+
+    def __init__(self, img):
+        self.img = img
+
+    def inverted(self):
+        return 255 - self.img
+
+    def scaled(self, factor=2):
+        return (self.img.astype(np.int64) * factor).clip(0, 255).astype(
+            np.uint8
+        )
+
+
+def test_method_dispatch_step():
+    img = np.full((4, 4), 60, dtype=np.uint8)
+    p = (
+        ImagePipeline()
+        .add_step("scale", "scaled", {"factor": 3}, outer=_Wrapped)
+        .add_step("invert", "inverted", outer=_Wrapped)
+    )
+    assert (p.run(img) == 255 - 180).all()
+    with pytest.raises(TypeError):
+        ImagePipeline().add_step("bad", "scaled")  # string needs outer
+    with pytest.raises(TypeError):
+        ImagePipeline().add_step("bad", invert, outer=_Wrapped)
+
+
 def test_flat_field_uniform_image_stays_uniform():
     img = np.full((16, 16), 120, dtype=np.uint8)
     out = flat_field(img, ksize=3)

@@ -75,6 +75,41 @@ def test_ann_recall(emb, truth, fn, kwargs, min_recall):
         assert q not in ns
 
 
+def test_recall_audit_floors(emb):
+    """The driver-gate ANN entries are self-checking recall audits; with
+    the entry parameters every per-query row must meet the 0.6 floor —
+    a regression to 0% recall can no longer pass the rows-only gate."""
+    from studiocr_spark.operators.similarity import (
+        exact_near_dup_pairs,
+        recall_at_k,
+    )
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = brute_force_topk(q, emb, k=K)
+    lsh = recall_at_k(
+        lsh_topk(
+            q, emb, dim=64, k=K, n_planes=4, n_tables=8, multiprobe=True
+        ),
+        exact,
+    ).collect()
+    assert all(r.passed for r in lsh), lsh
+    ivf = recall_at_k(
+        ivf_topk(q, emb, k=K, n_centroids=16, n_probe=4), exact
+    ).collect()
+    assert all(r.passed for r in ivf), ivf
+
+    found = embedding_near_dups(
+        emb, dim=64, threshold=0.35, n_planes=4, n_tables=8
+    )
+    truth = exact_near_dup_pairs(emb, threshold=0.35)
+    n_true = truth.count()
+    n_hit = found.join(
+        truth.select("vec_a", "vec_b"), ["vec_a", "vec_b"], "left_semi"
+    ).count()
+    assert n_true > 0
+    assert n_hit / n_true >= 0.6, (n_hit, n_true)
+
+
 def test_embedding_near_dups_are_true_pairs(emb):
     pairs = embedding_near_dups(emb, dim=64, threshold=0.3, n_planes=4)
     rows = pairs.collect()
