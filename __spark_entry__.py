@@ -471,13 +471,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs within Hamming distance 3 of the 16-bit simhash —
+    """Near-dup pairs within Hamming distance 3 of the 32-bit simhash —
     pigeonhole-banded blocking, so the pair set is EXACT and the oracle
-    is the quadratic all-pairs SQL."""
+    is the quadratic all-pairs SQL. 32 bits (8-bit bands) keeps the
+    bands selective: 16-bit signatures block on 4-bit bands, ~3M
+    candidate pairs at sf0.1 vs ~200k here."""
     from studiocr_spark.operators.dedup import simhash_near_dups
 
     return simhash_near_dups(
-        _t(spark, sf_dir, "documents"), bits=16, max_hamming=3
+        _t(spark, sf_dir, "documents"), bits=32, max_hamming=3
     )
 
 
@@ -1107,7 +1109,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "dedup_simhash_pairs": f"""
-            WITH sh AS ({_simhash_oracle()})
+            WITH sh AS ({_simhash_oracle(bits=32)})
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id

@@ -19,6 +19,8 @@ import sys
 import tempfile
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,6 +82,16 @@ def main() -> None:
     # workers, codegen — otherwise the first query absorbs all of it
     _force(qs_warm := entry.queries()["q1_pricing_summary"](spark, SF_DIR))
     _force(entry.queries()["token_counts"](spark, SF_DIR))
+    # spawn every Arrow Python worker: the first pandas-UDF query in the
+    # timed suite would otherwise absorb 32 interpreter cold-starts
+    from pyspark.sql import functions as _F
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    @_pudf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    _force(spark.range(CPUS * 4).repartition(CPUS).select(_warm(_F.col("id"))))
 
     qs = entry.queries()
     timings: dict[str, float] = {}
