@@ -209,10 +209,15 @@ def bm25_search(
     )
 
     doc_len = postings.groupBy("url").agg(F.count("*").alias("dl"))
-    n_docs_row = doc_len.agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avg_dl")
-    ).collect()[0]
-    n_docs, avg_dl = n_docs_row.n, float(n_docs_row.avg_dl)
+    # corpus stats stay LAZY: a 1-row broadcast cross-join instead of a
+    # driver collect(), so building the query plan never triggers a full
+    # postings scan (and the stats job fuses into the one submitted job)
+    stats = F.broadcast(
+        doc_len.agg(
+            F.count("*").cast("double").alias("n_docs"),
+            F.avg("dl").alias("avg_dl"),
+        )
+    )
 
     matched = postings.join(terms_df, "term")
     df_t = matched.groupBy("term").agg(
@@ -222,11 +227,12 @@ def bm25_search(
     scored = (
         tf.join(F.broadcast(df_t), "term")
         .join(F.broadcast(doc_len), "url")
+        .crossJoin(stats)
         .withColumn(
             "idf",
             F.log(
                 1.0
-                + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                + (F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5)
             ),
         )
@@ -236,7 +242,7 @@ def bm25_search(
             * F.col("tf")
             / (
                 F.col("tf")
-                + k1 * (1 - b + b * F.col("dl") / F.lit(avg_dl))
+                + k1 * (1 - b + b * F.col("dl") / F.col("avg_dl"))
             ),
         )
         .groupBy("url")

@@ -81,14 +81,21 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = False,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank): exact top-k per query.
 
     The query side is broadcast (small by contract); ties broken by
     neighbor id for determinism. Self-matches excluded.
+
+    ``vectorized`` scores with the Arrow batch cosine instead of the
+    sequential fold — use for recall audits and scale benchmarks; the
+    default fold keeps bit-parity with the DuckDB oracle
+    (ann_cosine_topk is hash-compared).
     """
     from pyspark.sql import Window
 
+    cos = vectorized_cosine if vectorized else cosine_sim
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
@@ -101,7 +108,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_sim(F.col("qv"), F.col("cv")).alias("cos_raw"),
+            cos(F.col("qv"), F.col("cv")).alias("cos_raw"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -265,14 +272,28 @@ def lsh_topk(
 
     q = with_buckets(queries, "query_id", "qv", multiprobe)
     c = with_buckets(corpus, "neighbor_id", "cv", False)
-    # dedup (query, neighbor) BEFORE the cosine: a pair colliding in
-    # several tables/probes would re-pay the fold per collision
-    # (measured ~2.7x duplication at 8 tables + multiprobe)
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+    # candidate rows carry IDS ONLY, deduped BEFORE scoring: a pair
+    # colliding in several tables/probes would re-pay the cosine
+    # (measured ~2.7x duplication), and shipping both 64-float vectors
+    # per candidate through the join + distinct shuffles ~100x the bytes
+    # of the id pair. Vectors are fetched after dedup: queries by
+    # broadcast (small by contract), corpus by equi-join.
+    cand = (
+        c.select("neighbor_id", "bucket")
+        .join(F.broadcast(q.select("query_id", "bucket")), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select("query_id", "neighbor_id")
         .distinct()
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
