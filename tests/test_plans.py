@@ -117,3 +117,48 @@ def test_ann_brute_force_broadcasts_queries(spark):
 def test_indexed_search_broadcasts_dictionary(spark):
     df = entry.j3_indexed_search(spark, SF)
     assert has_broadcast_join(df)
+
+
+def test_lsh_topk_broadcasts_query_buckets(spark):
+    """ANN LSH: candidate join broadcasts the tiny query-bucket side;
+    corpus vectors rejoin by equi-join; never a cartesian."""
+    df = entry.ann_lsh_topk(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ngram_jaccard_broadcasts_hot_set_only(spark):
+    """The skew guard must broadcast the HOT shingle set (tiny by
+    construction) as a left-anti build side — broadcasting the rare set
+    (~all distinct shingles) was the round-1 scale hazard."""
+    df = entry.dedup_ngram_jaccard(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan and "BuildRight" in plan, plan
+
+
+def test_simhash_pairs_single_band_join(spark):
+    """Pigeonhole banding: ONE equi-join on (band, val) — exploded
+    bands, not one join per band — and no cartesian."""
+    df = entry.dedup_simhash_pairs(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1, plan
+
+
+def test_bm25_is_lazy_and_broadcasts_stats(spark, extracted):
+    """Building the BM25 plan must trigger NO job (stats are a 1-row
+    broadcast cross-join, not a driver collect)."""
+    from studiocr_spark.operators.index import build_postings
+    from studiocr_spark.operators.search import bm25_search
+
+    _, _, ocr_blocks = extracted
+    postings = build_postings(ocr_blocks)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    df = bm25_search(postings, "cat dog")  # plan construction only
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after == before, "bm25_search plan-build submitted a Spark job"
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
