@@ -214,8 +214,17 @@ own memory bus, disks, and NICs, so the narrow map scales with executor
 count by construction; the local-mode proxy shares one memory bus and one
 disk across all threads, which is the ceiling both rows above measure.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # preserve hand-written sections (e.g. the ANN crossover table)
+    # appended after the generated scaling block
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    extra = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        cut = prev.find("\n## ")
+        if cut != -1:
+            extra = prev[cut:]
+    with open(path, "w") as f:
+        f.write(md + extra)
     print(json.dumps(summary))
 
 
