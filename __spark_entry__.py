@@ -42,6 +42,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like _t, but fanned out to core width. The sf tables are single
+    small parquet files -> one scan split, which starves CPU-bound
+    Arrow-UDF stages (minhash, fingerprints) of parallelism. At the
+    100 TB target inputs arrive in thousands of splits, so this
+    repartition is a local-harness artifact, not part of the operators
+    (which never repartition their inputs)."""
+    return _t(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, block_no, text, conf) token table."""
     docs = _t(spark, sf_dir, "documents")
@@ -460,7 +472,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from studiocr_spark.operators.dedup import minhash_lsh_dedup
 
     return minhash_lsh_dedup(
-        _t(spark, sf_dir, "documents"), threshold=0.3
+        _t_wide(spark, sf_dir, "documents"), threshold=0.3
     )
 
 
@@ -499,7 +511,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_dedup,
     )
 
-    pairs = minhash_lsh_dedup(_t(spark, sf_dir, "documents"), threshold=0.3)
+    pairs = minhash_lsh_dedup(_t_wide(spark, sf_dir, "documents"), threshold=0.3)
     return connected_components(pairs).orderBy("doc_id")
 
 

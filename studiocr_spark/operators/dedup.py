@@ -61,29 +61,30 @@ def word_shingles(text_col: Column, n: int = 2) -> Column:
     )
 
 
+def _py_shingles(t: str | None, n: int) -> list[str]:
+    """Distinct word n-gram shingles, Python form: ``str.split()``
+    mirrors ``words_of`` (whitespace split, empties dropped),
+    ``dict.fromkeys`` mirrors ``array_distinct`` — verified
+    row-identical to the :func:`word_shingles` expression on the
+    sf0.1 corpus."""
+    if t is None:
+        return []
+    w = t.split()
+    hi = max(len(w) - (n - 1), 1)
+    return list(dict.fromkeys(" ".join(w[i : i + n]) for i in range(hi)))
+
+
 def shingle_table(docs: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
     """(doc_id, shingle) exploded distinct shingles.
 
-    Arrow pandas-UDF shingler: ``str.split()`` mirrors ``words_of``
-    (whitespace split, empties dropped), ``dict.fromkeys`` mirrors
-    ``array_distinct`` — output verified row-identical to the
-    :func:`word_shingles` expression on the sf0.1 corpus, at ~2x cold /
-    ~10x warm the speed (1.5M interpreted slice+array_join evaluations
-    vs one batched Python pass per Arrow batch)."""
+    Arrow pandas-UDF shingler (:func:`_py_shingles`), ~2x cold / ~10x
+    warm vs the expression form: 1.5M interpreted slice+array_join
+    evaluations vs one batched Python pass per Arrow batch."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<string>")
     def _shingles(texts: pd.Series) -> pd.Series:
-        def sh(t):
-            if t is None:
-                return []
-            w = t.split()
-            hi = max(len(w) - (n - 1), 1)
-            return list(
-                dict.fromkeys(" ".join(w[i : i + n]) for i in range(hi))
-            )
-
-        return texts.map(sh)
+        return texts.map(lambda t: _py_shingles(t, n))
 
     return docs.select(
         "doc_id", F.explode(_shingles(text_col)).alias("shingle")
@@ -95,28 +96,44 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, seed, minhash): per-seed min over md5(seed|shingle).
 
-    Shape: explode shingles -> md5 per (shingle, seed) -> hash-agg mins.
-    A higher-order-function formulation (array_min over transform) avoids
-    the shuffle but re-evaluates the shingle array once per seed —
-    Catalyst does not CSE across output columns — measured ~8x slower.
-    The grouped min has map-side partial aggregation, so the shuffle
-    carries only num_hashes rows per doc per partition.
+    Shape: ONE narrow Arrow pass per doc (shingle -> hashlib md5 -> min
+    per seed), then posexplode to rows — zero shuffles. The earlier
+    explode -> md5-expression -> grouped-min shape shuffles shingle
+    rows and runs num_hashes interpreted md5s per shingle (12M at
+    sf0.1); an array_min-over-transform HOF re-evaluates the shingle
+    array once per seed (no CSE across output columns, ~8x slower
+    still). hashlib hexdigests are byte-identical to Spark's/DuckDB's
+    md5, so the oracle hash-parity is untouched.
     """
-    sh = shingle_table(docs, text_col, n)
-    mins = sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.md5(F.concat(F.lit(f"{seed}|"), F.col("shingle")))
-            ).alias(f"mh_{seed}")
-            for seed in range(num_hashes)
-        ]
-    )
-    return mins.selectExpr(
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _mins(texts: pd.Series) -> pd.Series:
+        def mh(t):
+            shingles = _py_shingles(t, n)
+            if not shingles:
+                return None  # null array -> posexplode drops the doc,
+                # matching the explode-form behavior for null text
+            return [
+                min(
+                    hashlib.md5(f"{seed}|".encode() + s.encode()).hexdigest()
+                    for s in shingles
+                )
+                for seed in range(num_hashes)
+            ]
+
+        return texts.map(mh)
+
+    # one Arrow pass computes every per-seed min directly: the
+    # explode -> 8x md5 -> grouped-min formulation shuffles 1.5M shingle
+    # rows and runs 12M interpreted md5 expressions at sf0.1; hashlib
+    # digests are byte-identical so the oracle hash-parity holds
+    mins = docs.select("doc_id", _mins(text_col).alias("mh"))
+    return mins.select(
         "doc_id",
-        "stack({n}, {pairs}) as (seed, minhash)".format(
-            n=num_hashes,
-            pairs=", ".join(f"{s}, mh_{s}" for s in range(num_hashes)),
-        ),
+        F.posexplode("mh").alias("seed", "minhash"),
     )
 
 

@@ -14,6 +14,7 @@ SQL-expressible for the DuckDB oracle:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -153,10 +154,30 @@ def fingerprints(
     md5 each char n-gram, keep the k lexicographically smallest digests,
     concatenate -> a stable doc fingerprint whose equality implies high
     content overlap. (doc_id, fingerprint).
+
+    Arrow pandas UDF: ~len(text) md5s per doc through the interpreted
+    transform lambda dominated this query (transform/md5 per element is
+    CodegenFallback); hashlib md5 hexdigests are byte-identical to
+    Spark's and DuckDB's, so the oracle hash-parity is preserved
+    (slicing by code points == substring semantics on this corpus).
     """
-    grams = char_ngrams(F.col(text_col), n)
-    hashes = F.array_sort(F.transform(grams, F.md5))
-    return docs.select(
-        "doc_id",
-        F.array_join(F.slice(hashes, 1, k), "").alias("fingerprint"),
-    )
+    import hashlib
+    import heapq
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _fp(texts: pd.Series) -> pd.Series:
+        def fp(t):
+            if t is None:
+                return None
+            hi = max(len(t) - (n - 1), 1)
+            digests = (
+                hashlib.md5(t[i : i + n].encode()).hexdigest()
+                for i in range(hi)
+            )
+            return "".join(heapq.nsmallest(k, digests))
+
+        return texts.map(fp)
+
+    return docs.select("doc_id", _fp(text_col).alias("fingerprint"))
