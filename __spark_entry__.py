@@ -491,7 +491,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from studiocr_spark.operators.dedup import simhash_near_dups
 
     return simhash_near_dups(
-        _t(spark, sf_dir, "documents"), bits=32, max_hamming=3
+        _t_wide(spark, sf_dir, "documents"), bits=32, max_hamming=3
     )
 
 
@@ -612,7 +612,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from studiocr_spark.operators.textstats import fingerprints
 
-    return fingerprints(_t(spark, sf_dir, "documents"))
+    return fingerprints(_t_wide(spark, sf_dir, "documents"))
 
 
 def running_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -249,30 +249,39 @@ def simhash(
     """
     if bits > 32:
         raise ValueError("bits must be <= 32 (one hex digit per bit)")
-    # explode words -> ONE md5 per token -> per-bit +-1 sums in a single
-    # hash aggregate (map-side combine). The fold-per-bit HOF variant
-    # re-hashes every token per bit.
-    toks = docs.select(
-        "doc_id", F.explode(words_of(F.col(text_col))).alias("w")
-    ).select("doc_id", F.md5("w").alias("h"))
-    votes = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.conv(F.substring("h", b + 1, 1), 16, 10).cast("int") % 2
-                    == 1,
-                    1,
-                ).otherwise(-1)
-            ).alias(f"v_{b}")
-            for b in range(bits)
-        ]
-    )
-    total = F.lit(0)
-    for b in range(bits):
-        total = total + F.when(F.col(f"v_{b}") > 0, F.lit(2 ** b)).otherwise(
-            F.lit(0)
-        )
-    return votes.select("doc_id", total.cast("long").alias("simhash"))
+    # ONE narrow Arrow pass per doc: md5 per token (hashlib — identical
+    # hexdigests to Spark/DuckDB md5), per-bit ±1 majority in Python.
+    # The expression form (explode words -> md5 -> `bits` conditional
+    # sums in a hash aggregate) shuffles every token row and evaluates
+    # bits x tokens conv/substring expressions; a fold-per-bit HOF
+    # variant is worse still (re-hashes every token per bit).
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        odd = set("13579bdf")
+
+        def sh(t):
+            if t is None:
+                return None
+            words = t.split()
+            if not words:
+                return None  # no tokens -> no vote rows in the explode
+                # form either (doc dropped); keep that behavior as null
+            votes = [0] * bits
+            for w in words:
+                h = hashlib.md5(w.encode()).hexdigest()
+                for b in range(bits):
+                    votes[b] += 1 if h[b] in odd else -1
+            return sum(2 ** b for b in range(bits) if votes[b] > 0)
+
+        return texts.map(sh)
+
+    return docs.select(
+        "doc_id", _simhash(text_col).alias("simhash")
+    ).filter(F.col("simhash").isNotNull())
 
 
 def simhash_near_dups(

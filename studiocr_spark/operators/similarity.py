@@ -352,7 +352,7 @@ def ivf_topk(
             ident,
             vec,
             "centroid_id",
-            cosine_sim(F.col(vec), F.col("cvec")).alias("csim"),
+            vectorized_cosine(F.col(vec), F.col("cvec")).alias("csim"),
         )
         w = Window.partitionBy(ident).orderBy(
             F.desc("csim"), F.asc("centroid_id")
@@ -382,12 +382,13 @@ def ivf_topk(
     scored = (
         c.join(q, "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        # (query, neighbor) is unique here — corpus rows live in exactly
+        # one cell (keep=1) — so no pre-scoring dedup is needed
         .select(
             "query_id",
             "neighbor_id",
-            cosine_sim(F.col("qv"), F.col("cv")).alias("cos_raw"),
+            vectorized_cosine(F.col("qv"), F.col("cv")).alias("cos_raw"),
         )
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_raw"), F.asc("neighbor_id")
