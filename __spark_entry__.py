@@ -615,6 +615,36 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_t_wide(spark, sf_dir, "documents"))
 
 
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling: 10% of short docs, 50%
+    of mid, all long — survival is a pure function of (salt, doc_id),
+    so the exact surviving row set is oracle-checkable."""
+    from studiocr_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    stratum = (
+        F.when(F.length("text") < 150, "short")
+        .when(F.length("text") < 300, "mid")
+        .otherwise("long")
+    )
+    staged = docs.select("doc_id", stratum.alias("stratum"))
+    out = stratified_sample(
+        staged, {"short": 0.1, "mid": 0.5, "long": 1.0}
+    )
+    return out.select("doc_id", "stratum")
+
+
+def pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: hash-bucketed, contiguous running-
+    sum shards within each bucket (one window per bucket, no global
+    sort)."""
+    from studiocr_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=300, n_buckets=8
+    )
+
+
 def running_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running per-user value sum (ordered frame, rowsBetween)."""
     ev = _t(spark, sf_dir, "events")
@@ -823,6 +853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": quality_scores,
         "token_counts": token_counts,
         "doc_fingerprints": doc_fingerprints,
+        "sample_stratified": sample_stratified,
+        "pack_shards": pack_shards,
         "running_window_sum": running_window_sum,
         "rollup_orders": rollup_orders,
         "pivot_order_priority": pivot_order_priority,
@@ -1193,6 +1225,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    array_to_string(list_sort(hs)[1:4], '') AS fingerprint
             FROM grams
+        """,
+        "sample_stratified": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     CASE WHEN length(text) < 150 THEN 'short'
+                          WHEN length(text) < 300 THEN 'mid'
+                          ELSE 'long' END AS stratum
+              FROM documents
+            )
+            SELECT doc_id, stratum FROM s
+            WHERE CAST(('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    / 4294967296.0
+                  < CASE stratum WHEN 'short' THEN 0.1
+                                 WHEN 'mid' THEN 0.5 ELSE 1.0 END
+        """,
+        "pack_shards": r"""
+            WITH staged AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+                       AS bucket,
+                     CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                       AS n_tokens
+              FROM documents
+            ), cum AS (
+              SELECT *, sum(n_tokens) OVER (
+                       PARTITION BY bucket ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS c
+              FROM staged
+            )
+            SELECT doc_id, bucket,
+                   CAST(floor((c - n_tokens) / 300.0) AS INT) AS shard,
+                   n_tokens
+            FROM cum
         """,
     }
 

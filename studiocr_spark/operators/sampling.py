@@ -1,0 +1,130 @@
+"""Deterministic sampling & shard packing for training-data pipelines.
+
+Two operations every large-scale dataset build needs between "filtered
+corpus" and "training shards":
+
+- stratified_sample: per-stratum downsampling (e.g. keep 10% of low-
+  quality docs, 100% of high-quality) that is DETERMINISTIC — driven by
+  a salted md5 of the document id, not an RNG — so re-runs, retries and
+  incremental appends sample the same rows. No collect, no RNG state:
+  a row's fate is a pure function of (salt, id).
+- pack_sequences: assign documents to fixed-token-budget shards
+  (sequence packing for LLM training). Documents are hash-bucketed
+  (parallel, skew-free) and packed contiguously within each bucket by a
+  running token sum — one window per bucket, never a global sort. A
+  shard may overrun the budget by at most its last document (the
+  standard streaming-pack tradeoff; exact bin packing is sequential).
+
+Both are pure DataFrame expressions (JVM, codegen) and DuckDB-
+expressible for the oracle gate: Spark ``conv(substring(md5(x),1,8),
+16,10)`` == DuckDB ``CAST('0x' || substr(md5(x),1,8) AS BIGINT)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_SPACE = float(2 ** 32)
+
+
+def hash_unit(col: Column, salt: str = "") -> Column:
+    """Deterministic uniform [0,1) from a salted md5 of ``col``.
+
+    First 8 hex digits -> 32-bit int -> divide by 2^32. Identical
+    arithmetic in DuckDB (see module docstring), so sampled row sets
+    are oracle-checkable exactly.
+    """
+    h = F.md5(F.concat(F.lit(salt), F.lit("|"), col.cast("string")))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") / HASH_SPACE
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "stratum",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically.
+
+    A row survives iff ``hash_unit(salt, id) < fractions[stratum]``.
+    Unknown strata get ``default_fraction``. Narrow (no shuffle, no
+    RNG): the filter pushes to the scan side and the same ids survive
+    on every run/cluster — what an incremental 100 TB pipeline needs
+    (re-sampling a late partition must not flap rows).
+    """
+    frac = F.lit(float(default_fraction))
+    for value, f in sorted(fractions.items()):
+        frac = F.when(
+            F.col(strata_col) == value, F.lit(float(f))
+        ).otherwise(frac)
+    return docs.filter(hash_unit(F.col(id_col), salt) < frac)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    token_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8,
+    salt: str = "pack",
+) -> DataFrame:
+    """(id, bucket, shard, n_tokens): fixed-token-budget shard packing.
+
+    Documents are hash-bucketed (uniform md5 keys — each bucket packs
+    independently in parallel; a global pack would serialize 100 TB
+    through one window). Within a bucket, documents are ordered by id
+    and packed contiguously: ``shard = floor(tokens_before / budget)``
+    where ``tokens_before`` is the running token sum EXCLUDING the
+    current doc — so a shard can overrun the budget only by its final
+    document, and a doc larger than the budget gets a shard to itself.
+
+    ``token_col`` defaults to the whitespace token count of
+    ``text_col``. Fully deterministic; one shuffle (the per-bucket
+    window sort).
+    """
+    tokens = (
+        F.col(token_col)
+        if token_col
+        else F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt), F.lit("|"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % n_buckets
+    )
+    staged = docs.select(
+        F.col(id_col),
+        bucket.alias("bucket"),
+        tokens.cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return staged.select(
+        id_col,
+        "bucket",
+        F.floor((cum - F.col("n_tokens")) / budget).cast("int").alias(
+            "shard"
+        ),
+        "n_tokens",
+    )

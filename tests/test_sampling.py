@@ -1,0 +1,85 @@
+"""Deterministic stratified sampling + token-budget shard packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from studiocr_spark.operators.sampling import (
+    hash_unit,
+    pack_sequences,
+    stratified_sample,
+)
+
+
+def _docs(spark, n=400):
+    return spark.createDataFrame(
+        [(i, "short" if i % 2 else "long", "w " * (5 + i % 30)) for i in range(n)],
+        "doc_id long, stratum string, text string",
+    )
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    docs = _docs(spark)
+    frac = {"short": 0.25, "long": 1.0}
+    a = {r.doc_id for r in stratified_sample(docs, frac).collect()}
+    b = {r.doc_id for r in stratified_sample(docs, frac).collect()}
+    assert a == b, "same salt+ids must sample identically"
+    longs = {i for i in range(400) if i % 2 == 0}
+    assert longs <= a, "fraction 1.0 keeps every row"
+    shorts_kept = len(a - longs)
+    assert 20 <= shorts_kept <= 80, shorts_kept  # ~50 of 200 at 0.25
+    # a different salt samples a different (but still deterministic) set
+    c = {r.doc_id for r in stratified_sample(docs, frac, salt="other").collect()}
+    assert c != a
+    # unknown strata drop by default
+    none_kept = stratified_sample(
+        docs, {"nonexistent": 1.0}
+    ).count()
+    assert none_kept == 0
+
+
+def test_hash_unit_range(spark):
+    rows = (
+        spark.range(1000)
+        .select(hash_unit(F.col("id")).alias("u"))
+        .agg(F.min("u"), F.max("u"))
+        .first()
+    )
+    assert 0.0 <= rows[0] and rows[1] < 1.0
+
+
+def test_pack_sequences_budget_invariants(spark):
+    docs = _docs(spark, 300)
+    budget = 50
+    out = pack_sequences(docs, budget=budget, n_buckets=4).collect()
+    assert len(out) == 300
+    # every doc assigned; shard totals respect the streaming-pack bound:
+    # a shard overruns only by its last (or only) document
+    by_shard: dict[tuple, list] = {}
+    for r in out:
+        by_shard.setdefault((r.bucket, r.shard), []).append(r)
+    for (bucket, shard), rows in by_shard.items():
+        total = sum(r.n_tokens for r in rows)
+        rows_sorted = sorted(rows, key=lambda r: r.doc_id)
+        last = rows_sorted[-1].n_tokens
+        assert total - last < budget, (bucket, shard, total, last)
+    # shards within a bucket are contiguous from 0
+    for bucket in {r.bucket for r in out}:
+        shards = sorted({r.shard for r in out if r.bucket == bucket})
+        assert shards == list(range(len(shards))), (bucket, shards)
+
+
+def test_pack_oversized_doc_gets_own_shard(spark):
+    docs = spark.createDataFrame(
+        [(1, "w " * 500), (2, "w " * 3), (3, "w " * 3)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in pack_sequences(docs, budget=100, n_buckets=1).collect()
+    }
+    # doc 1 (500 tokens > budget) occupies shard 0 alone; the next doc
+    # starts a fresh shard
+    assert out[1].shard == 0
+    assert out[2].shard > 0
+    assert out[2].shard == out[3].shard  # both tiny -> same shard
