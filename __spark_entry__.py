@@ -463,9 +463,11 @@ def j7_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- training-data ops ------------------------------------------------------
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hash_first: the gate runs the 100 TB shape (digest-only shuffle);
+    the oracle groups by full text — identical result set."""
     from studiocr_spark.operators.dedup import exact_duplicates
 
-    return exact_duplicates(_t(spark, sf_dir, "documents"))
+    return exact_duplicates(_t(spark, sf_dir, "documents"), hash_first=True)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,13 +27,36 @@ from pyspark.sql import functions as F
 from .textstats import round6, words_of
 
 
-def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def exact_duplicates(
+    docs: DataFrame, text_col: str = "text", hash_first: bool = False
+) -> DataFrame:
     """(doc_id, canonical_id, is_duplicate): group by exact content.
 
-    Hash-groupBy on the text; canonical = min doc_id of the group. At
-    scale, group on xxhash64(text) first and verify text equality within
-    groups; here text is the grouping key directly (collision-free).
+    Hash-groupBy on the text; canonical = min doc_id of the group.
+
+    ``hash_first`` is the 100 TB shape: the groupBy and join shuffle
+    32-byte md5 digests instead of multi-KB documents (~100x less
+    shuffle for web pages). Duplicate-by-digest stands in for
+    duplicate-by-text — at md5 strength the corpus-wide collision odds
+    are ~2^-64 even at 10^10 documents, which is how production exact
+    dedup (e.g. CCNet-style pipelines) runs; a paranoid deployment can
+    re-verify inside digest groups with the near-dup verifier.
     """
+    if hash_first:
+        hashed = docs.select("doc_id", F.md5(F.col(text_col)).alias("_h"))
+        canon = hashed.groupBy("_h").agg(
+            F.min("doc_id").alias("canonical_id")
+        )
+        return (
+            hashed.join(canon, "_h")
+            .select(
+                "doc_id",
+                "canonical_id",
+                (F.col("doc_id") != F.col("canonical_id")).alias(
+                    "is_duplicate"
+                ),
+            )
+        )
     canon = docs.groupBy(text_col).agg(F.min("doc_id").alias("canonical_id"))
     return (
         docs.join(canon, text_col)

@@ -48,3 +48,16 @@ def test_distance3_pair_spanning_both_halves_found(spark):
             pa, pb = sorted((ids[wa], ids[wb]))
             expect[(pa, pb)] = d
     assert got == expect
+
+
+def test_exact_dedup_hash_first_equals_direct(spark):
+    from studiocr_spark.operators.dedup import exact_duplicates
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 7}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    direct = exact_duplicates(docs).collect()
+    hashed = exact_duplicates(docs, hash_first=True).collect()
+    key = lambda r: (r.doc_id, r.canonical_id, r.is_duplicate)
+    assert sorted(map(key, direct)) == sorted(map(key, hashed))

@@ -165,3 +165,52 @@ def test_stateful_sessionization(spark, tmp_path):
     q.stop()
     assert got == expected
     assert len(got) > 50  # real session structure, not a trivial pass
+
+
+def test_stream_dedup_matches_batch_distinct(spark, tmp_path):
+    """Streaming dropDuplicates on content hash == batch distinct set,
+    and exactly-once across a restart with no new files."""
+    from studiocr_spark.streaming.stream_dedup import stream_dedup_exact
+
+    docs_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "deduped")
+    ckpt = str(tmp_path / "ckpt_dedup")
+    # duplicate-heavy corpus: 300 docs over 60 distinct texts
+    spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), (F.col("id") % 60).cast("string")).alias(
+            "text"
+        ),
+    ).repartition(6).write.mode("overwrite").parquet(docs_dir)
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(docs_dir)
+        )
+        q = (
+            stream_dedup_exact(stream)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", out_dir)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 60
+    batch_hashes = {
+        r.h
+        for r in spark.read.parquet(docs_dir)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .collect()
+    }
+    assert {r.content_hash for r in got.collect()} == batch_hashes
+
+    run()  # restart, no new input -> no duplicates
+    assert spark.read.parquet(out_dir).count() == 60
