@@ -211,6 +211,16 @@ def jaccard_verify(
     out of the join, which is correct for any threshold > 0.
     """
     sh = shingle_table(docs, text_col, n)  # distinct (doc_id, shingle)
+    # only candidate docs' shingles enter the verify joins: at scale
+    # candidates are a sparse subset of the corpus, and the first join
+    # below fans out to |pairs| x |shingles per doc| rows — prune the
+    # shingle table (cheap semi-join) before paying that
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = sh.join(cand_docs, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
