@@ -84,15 +84,31 @@ def word_shingles(text_col: Column, n: int = 2) -> Column:
     )
 
 
+_ASCII_WS = None  # compiled lazily; Java regex \s is ASCII-only
+
+
+def _py_words(t: str) -> list[str]:
+    """Tokenization mirroring ``words_of`` EXACTLY: Java's ``\\s`` is
+    ``[ \\t\\n\\x0B\\f\\r]`` (ASCII only), while Python's ``str.split()``
+    also splits on unicode whitespace (U+00A0 etc.) — a silent
+    divergence on non-ASCII corpora. Split on the Java class, drop
+    empties."""
+    global _ASCII_WS
+    if _ASCII_WS is None:
+        import re
+
+        _ASCII_WS = re.compile("[ \t\n\x0b\f\r]+")
+    return [w for w in _ASCII_WS.split(t) if w]
+
+
 def _py_shingles(t: str | None, n: int) -> list[str]:
-    """Distinct word n-gram shingles, Python form: ``str.split()``
-    mirrors ``words_of`` (whitespace split, empties dropped),
-    ``dict.fromkeys`` mirrors ``array_distinct`` — verified
+    """Distinct word n-gram shingles, Python form (:func:`_py_words`
+    tokens, ``dict.fromkeys`` mirrors ``array_distinct``) — verified
     row-identical to the :func:`word_shingles` expression on the
-    sf0.1 corpus."""
+    sf0.1 corpus AND on an ASCII/unicode edge-case corpus (pytest)."""
     if t is None:
         return []
-    w = t.split()
+    w = _py_words(t)
     hi = max(len(w) - (n - 1), 1)
     return list(dict.fromkeys(" ".join(w[i : i + n]) for i in range(hi)))
 
@@ -299,7 +315,7 @@ def simhash(
         def sh(t):
             if t is None:
                 return None
-            words = t.split()
+            words = _py_words(t)
             if not words:
                 return None  # no tokens -> no vote rows in the explode
                 # form either (doc dropped); keep that behavior as null

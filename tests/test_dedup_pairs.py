@@ -61,3 +61,67 @@ def test_exact_dedup_hash_first_equals_direct(spark):
     hashed = exact_duplicates(docs, hash_first=True).collect()
     key = lambda r: (r.doc_id, r.canonical_id, r.is_duplicate)
     assert sorted(map(key, direct)) == sorted(map(key, hashed))
+
+
+def test_arrow_shingles_match_expression_on_edge_cases(spark):
+    """The Arrow shingler and the word_shingles expression must agree
+    row-for-row — including unicode whitespace, where Python's
+    str.split() diverges from Java's ASCII-only \\s."""
+    from pyspark.sql import functions as F
+
+    from studiocr_spark.operators.dedup import shingle_table, word_shingles
+
+    texts = [
+        "",
+        " ",
+        "solo",
+        "two words",
+        "multi   space\tand\ttabs",
+        "nbsp stays joined",  # U+00A0 is NOT Java \s
+        "trailing space ",
+        " leading",
+        "a b c d e f g",
+        "ünï cödé wörds",
+        "line\nbreaks\rhere",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = shingle_table(docs)
+    ref = docs.select(
+        "doc_id",
+        F.explode(word_shingles(F.col("text"))).alias("shingle"),
+    )
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+
+
+def test_simhash_tokenizes_like_words_of(spark):
+    """simhash's Python tokenizer must match words_of on the same edge
+    cases (one md5 vote per JVM-visible token)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from studiocr_spark.operators.dedup import simhash
+    from studiocr_spark.operators.textstats import words_of
+
+    texts = ["nbsp joined token", "a\tb\nc", "  padded  ", "ünï cödé"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.simhash for r in simhash(docs, bits=16).collect()}
+    toks = {
+        r.doc_id: r.w
+        for r in docs.select(
+            "doc_id", words_of(F.col("text")).alias("w")
+        ).collect()
+    }
+    for i, words in toks.items():
+        votes = [0] * 16
+        for w in words:
+            h = hashlib.md5(w.encode()).hexdigest()
+            for b in range(16):
+                votes[b] += 1 if int(h[b], 16) % 2 == 1 else -1
+        expect = sum(2 ** b for b in range(16) if votes[b] > 0)
+        assert got[i] == expect, (i, words)
