@@ -197,7 +197,9 @@ writes that a real cluster spreads across executor-local storage.
 | local[{high}] | {t_high:.2f} | {thr_high:.2f} | {w_high:.2f} |
 
 **Scaling efficiency** T({high}) / ({high // low} x T({low})) =
-**{efficiency:.3f}** (target >= 0.8: {"PASS" if efficiency >= 0.8 else "FAIL"}).
+**{efficiency:.3f}** (target >= 0.8: {"PASS" if summary["pass"] else "FAIL"},
+raw or relative-to-hardware-control — the same criterion the JSON
+summary's ``pass`` field reports).
 
 **Hardware control**: the identical decode+stats workload under plain
 ``multiprocessing`` (no Spark) on this VM scales at
