@@ -101,6 +101,7 @@ def extract_raw(
     num_partitions: int | None = None,
     page_text_join: str = " ",
     errors: str = "skip",
+    with_images: bool = True,
 ) -> DataFrame:
     """pages -> one row per rasterized page with raw OCR parallel arrays.
 
@@ -110,6 +111,14 @@ def extract_raw(
     shape). ``errors='skip'`` (default) turns undecodable payloads into
     quarantine rows (``error`` non-null) instead of task failures;
     ``'fail'`` restores fail-fast for debugging.
+
+    ``with_images=False`` emits a null ``image`` column. Catalyst cannot
+    column-prune work that happens INSIDE a UDF — selecting only
+    ``page_text`` downstream still ships every image blob through Arrow
+    — so this flag is the pruning mechanism for text-only consumers
+    (dedup, textstats, index build). On the bench corpus decode CPU
+    dominates (throughput unchanged, measured), but any sink after the
+    extract stops carrying the blobs (memory, shuffle, storage).
     """
     decoder = get_decoder(backend)
     if errors not in ("skip", "fail"):
@@ -146,7 +155,7 @@ def extract_raw(
                         (
                             url,
                             page_no,
-                            png,
+                            png if with_images else None,
                             page_text,
                             [int(v) for v in data["left"]],
                             [int(v) for v in data["top"]],

@@ -190,3 +190,21 @@ def test_tesseract_jpeg_q100():
     assert len(pages) == 1
     blob = pages[0][0]
     assert blob[:3] == b"\xff\xd8\xff"  # JPEG SOI marker
+
+
+def test_extract_without_images(spark, pages_df):
+    """with_images=False nulls the blob column (the UDF-internal
+    pruning lever) without touching any other output."""
+    from studiocr_spark.operators.extract import extract_raw
+
+    slim = extract_raw(pages_df.limit(10), backend="bitmap",
+                       with_images=False)
+    full = extract_raw(pages_df.limit(10), backend="bitmap")
+    srows = {(r.url, r.page_no): r for r in slim.collect()}
+    frows = {(r.url, r.page_no): r for r in full.collect()}
+    assert set(srows) == set(frows)
+    for k, s in srows.items():
+        assert s.image is None
+        assert frows[k].image is not None
+        assert s.page_text == frows[k].page_text
+        assert s.page_stats == frows[k].page_stats
