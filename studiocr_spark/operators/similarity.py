@@ -315,23 +315,101 @@ def lsh_topk(
     )
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    n_centroids: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(centroid_id, cvec): Lloyd-refined coarse quantizer for IVF.
+
+    Init = the ``n_centroids`` lowest-id corpus vectors (deterministic).
+    Each iteration: assign every vector to its nearest centroid
+    (broadcast centroids + Arrow batch cosine + window argmin), then
+    recompute each cell's mean vector (one groupBy). Centroids are
+    collected per iteration (n_centroids x dim floats — trivially
+    driver-sized; iterative training materializes per step exactly like
+    MLlib's k-means, rather than stacking ``iters`` crossJoins into one
+    lazy plan). Empty cells keep their previous centroid. Mean summation
+    order makes ~1e-16 nondeterminism — irrelevant to cell quality.
+    """
+    import numpy as np
+    from pyspark.sql import Window
+
+    spark = corpus.sparkSession
+    cents_rows = [
+        (int(r[0]), list(map(float, r[1])))
+        for r in corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    ]
+    for _ in range(iters):
+        cents = spark.createDataFrame(
+            cents_rows, "centroid_id int, cvec array<double>"
+        )
+        scored = corpus.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+        ).crossJoin(F.broadcast(cents)).select(
+            "vid",
+            "v",
+            "centroid_id",
+            vectorized_cosine(F.col("v"), F.col("cvec")).alias("csim"),
+        )
+        w = Window.partitionBy("vid").orderBy(
+            F.desc("csim"), F.asc("centroid_id")
+        )
+        assigned = scored.withColumn(
+            "r", F.row_number().over(w)
+        ).filter("r = 1")
+        means = (
+            assigned.groupBy("centroid_id")
+            .applyInPandas(
+                lambda pdf: pd.DataFrame(
+                    {
+                        "centroid_id": [int(pdf["centroid_id"].iloc[0])],
+                        "cvec": [
+                            list(
+                                map(
+                                    float,
+                                    np.stack(pdf["v"].values).mean(axis=0),
+                                )
+                            )
+                        ],
+                    }
+                ),
+                "centroid_id int, cvec array<double>",
+            )
+            .collect()
+        )
+        moved = {r.centroid_id: list(r.cvec) for r in means}
+        cents_rows = [
+            (cid, moved.get(cid, vec)) for cid, vec in cents_rows
+        ]
+    return spark.createDataFrame(
+        cents_rows, "centroid_id int, cvec array<double>"
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    kmeans_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF-style ANN: coarse quantize -> probe nearest cells -> re-rank.
 
     Centroids are a deterministic sample (the ``n_centroids`` lowest-id
-    corpus vectors — a fixed coarse quantizer; production would run
-    k-means refinement, which only moves the centroids, not the plan
-    shape). Every corpus vector is assigned to its nearest centroid
-    (broadcast centroid join); each query probes its ``n_probe`` nearest
-    cells and exact-cosine re-ranks within them.
+    corpus vectors); ``kmeans_iters`` > 0 Lloyd-refines them first
+    (:func:`kmeans_refine` — moves the centroids, not the plan shape).
+    Every corpus vector is assigned to its nearest centroid (broadcast
+    centroid join); each query probes its ``n_probe`` nearest cells and
+    exact-cosine re-ranks within them.
 
     Scale shape: the corpus-side assignment is a broadcast join + window
     (one shuffle on cell), the query side touches ``n_probe / n_centroids``
@@ -339,13 +417,21 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    if kmeans_iters > 0:
+        cents = F.broadcast(
+            kmeans_refine(
+                corpus, n_centroids, kmeans_iters, id_col, vec_col
+            )
         )
-    )
+    else:
+        cents = (
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).alias("cvec"),
+            )
+        )
 
     def assign(df: DataFrame, ident: str, vec: str, keep: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).select(
