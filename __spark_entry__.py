@@ -617,6 +617,35 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_t_wide(spark, sf_dir, "documents"))
 
 
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end C4-style corpus cleaning as ONE declarative plan:
+    language filter -> quality floor -> exact-dedup canonical keep ->
+    deterministic 50% downsample. The composition query for the whole
+    training-data-pipeline family — every stage is the same operator
+    the standalone entries check, so the oracle composes their SQL."""
+    from studiocr_spark.operators.dedup import exact_duplicates
+    from studiocr_spark.operators.sampling import hash_unit
+    from studiocr_spark.operators.textstats import lang_id, quality_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    lang = lang_id(docs)
+    qual = quality_scores(docs).select("doc_id", "quality")
+    kept = (
+        docs.join(lang.select("doc_id", "pred_lang"), "doc_id")
+        .join(qual, "doc_id")
+        .filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.55))
+    )
+    dd = exact_duplicates(kept, hash_first=True)
+    canon = kept.join(
+        dd.filter(~F.col("is_duplicate")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    return canon.filter(
+        hash_unit(F.col("doc_id"), "clean") < 0.5
+    ).select("doc_id", "pred_lang", "quality")
+
+
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum downsampling: 10% of short docs, 50%
     of mid, all long — survival is a pure function of (salt, doc_id),
@@ -857,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": doc_fingerprints,
         "sample_stratified": sample_stratified,
         "pack_shards": pack_shards,
+        "clean_corpus": clean_corpus,
         "running_window_sum": running_window_sum,
         "rollup_orders": rollup_orders,
         "pivot_order_priority": pivot_order_priority,
@@ -1227,6 +1257,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    array_to_string(list_sort(hs)[1:4], '') AS fingerprint
             FROM grams
+        """,
+        "clean_corpus": rf"""
+            WITH lang AS ({_lang_id_oracle()}),
+            qual AS ({_quality_oracle()}),
+            kept AS (
+              SELECT d.doc_id, d.text, lang.pred_lang, qual.quality
+              FROM documents d
+              JOIN lang USING (doc_id) JOIN qual USING (doc_id)
+              WHERE lang.pred_lang = 'en' AND qual.quality >= 0.55
+            ), canon AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS c
+                FROM kept
+              ) WHERE doc_id = c
+            )
+            SELECT k.doc_id, k.pred_lang, k.quality
+            FROM kept k JOIN canon USING (doc_id)
+            WHERE CAST(('0x' || substr(md5('clean|' || CAST(k.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    / 4294967296.0 < 0.5
         """,
         "sample_stratified": r"""
             WITH s AS (
