@@ -54,6 +54,9 @@ HEADLINE = [
     "quality_scores",
     "token_counts",
     "doc_fingerprints",
+    "sample_stratified",
+    "pack_shards",
+    "clean_corpus",
 ]
 
 
