@@ -1,0 +1,111 @@
+"""Production entrypoint for the corpus-cleaning pipeline.
+
+documents(doc_id, text, ...) -> cleaned docs + training shards::
+
+    spark-submit --master yarn --py-files studiocr_spark.zip \
+      jobs/clean_submit.py \
+      --input s3://bucket/documents --output s3://bucket/clean \
+      --lang en --min-quality 0.55 --sample 0.5 \
+      --shard-budget 1000000 --shard-buckets 4096
+
+Stages (all declarative, one submitted plan per sink):
+  1. language-ID + quality scoring (JVM expressions)
+  2. filter to --lang above --min-quality
+  3. exact dedup, digest-only shuffle, keep canonical docs
+  4. deterministic --sample downsample (salted hash of doc_id —
+     re-runs and retries keep the identical row set)
+  5. token-budget shard assignment (hash-bucketed running sums)
+
+Every stage is the same operator the driver gate oracle-checks
+(entries clean_corpus / dedup_exact / sample_stratified / pack_shards).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+try:
+    import studiocr_spark  # noqa: F401
+except ImportError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="studiocr_spark corpus clean job")
+    ap.add_argument("--input", required=True, help="documents table path")
+    ap.add_argument("--output", required=True, help="output root")
+    ap.add_argument("--lang", default="en")
+    ap.add_argument("--min-quality", type=float, default=0.55)
+    ap.add_argument("--sample", type=float, default=1.0,
+                    help="deterministic keep fraction after dedup")
+    ap.add_argument("--shard-budget", type=int, default=1_000_000,
+                    help="tokens per training shard")
+    ap.add_argument("--shard-buckets", type=int, default=1024,
+                    help="parallel packing buckets (>= executors)")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from studiocr_spark.operators.dedup import exact_duplicates
+    from studiocr_spark.operators.sampling import hash_unit, pack_sequences
+    from studiocr_spark.operators.textstats import lang_id, quality_scores
+    from studiocr_spark.session import get_spark
+
+    spark = get_spark(app_name="studiocr-clean", master=args.master)
+    docs = spark.read.parquet(args.input)
+
+    lang = lang_id(docs).select("doc_id", "pred_lang")
+    qual = quality_scores(docs).select("doc_id", "quality")
+    kept = (
+        docs.join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .filter(
+            (F.col("pred_lang") == args.lang)
+            & (F.col("quality") >= args.min_quality)
+        )
+    )
+    dd = exact_duplicates(kept, hash_first=True)
+    canon = kept.join(
+        dd.filter(~F.col("is_duplicate")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    if args.sample < 1.0:
+        canon = canon.filter(hash_unit(F.col("doc_id"), "clean") < args.sample)
+
+    out_docs = f"{args.output}/clean_docs"
+    canon.write.mode("overwrite").parquet(out_docs)
+    cleaned = spark.read.parquet(out_docs)
+
+    shards = pack_sequences(
+        cleaned, budget=args.shard_budget, n_buckets=args.shard_buckets
+    )
+    shards.write.mode("overwrite").parquet(f"{args.output}/shards")
+
+    n_in = docs.count()
+    n_out = cleaned.count()
+    shard_stats = shards.agg(
+        F.countDistinct("bucket", "shard").alias("n_shards"),
+        F.sum("n_tokens").alias("n_tokens"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "docs_in": n_in,
+                "docs_kept": n_out,
+                "keep_rate": round(n_out / max(n_in, 1), 4),
+                "n_shards": shard_stats[0],
+                "n_tokens": int(shard_stats[1] or 0),
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
