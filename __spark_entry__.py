@@ -29,13 +29,13 @@ NAV_CURRENT = 250  # navigation pivot doc_id
 
 
 def _r(col, ndigits: int):
-    """Portable HALF_UP rounding for hash-compared doubles.
+    """Portable HALF_UP rounding for hash-compared doubles — the single
+    implementation lives in textstats.portable_round; the matching
+    oracle SQL must use the same floor(x*1eN+0.5)/1eN formula (never
+    bare round())."""
+    from studiocr_spark.operators.textstats import portable_round
 
-    Spark's round() is HALF_UP, DuckDB's is HALF_EVEN; floor(x*1eN+0.5)/1eN
-    is identical arithmetic in both engines. The matching oracle SQL must
-    use the same formula (never bare round())."""
-    scale = F.lit(float(10 ** ndigits))
-    return F.floor(col * scale + F.lit(0.5)) / scale
+    return portable_round(col, ndigits)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1296,7 +1296,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      CAST(('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
                        AS bucket,
-                     CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                     CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                          x -> x != '')) AS BIGINT)
                        AS n_tokens
               FROM documents
             ), cum AS (

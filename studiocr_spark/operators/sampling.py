@@ -88,11 +88,15 @@ def pack_sequences(
     ``text_col``. Fully deterministic; one shuffle (the per-bucket
     window sort).
     """
-    tokens = (
-        F.col(token_col)
-        if token_col
-        else F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-    )
+    if token_col:
+        tokens = F.col(token_col)
+    else:
+        # words_of semantics (textstats.py): filtered split, so empty/
+        # whitespace-only docs count 0 tokens, not 1 phantom — a bare
+        # split counts a leading-tab doc one token high
+        from .textstats import words_of
+
+        tokens = F.size(words_of(F.col(text_col)))
     bucket = (
         F.conv(
             F.substring(

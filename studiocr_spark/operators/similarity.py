@@ -150,17 +150,17 @@ def _plane_signs(dim: int, n_planes: int, table: int) -> list[list[float]]:
 def hyperplane_signature(
     vec_col: Column, dim: int, n_planes: int = 8, table: int = 0
 ) -> Column:
-    """Deterministic random-hyperplane LSH signature (int bucket id).
+    """Deterministic random-hyperplane LSH signature (int bucket id) —
+    EXPRESSION form, kept as the executable spec for the batched
+    :func:`hyperplane_signatures` the operators actually run (the same
+    role word_shingles plays for the Arrow shingler); a pytest pins the
+    two forms' bucket ids equal on real embeddings.
 
     Signature bit i = sign of the projection onto plane i. The planes
     are pure functions of (table, i, j) — see _plane_signs — and are
     embedded as array literals, so each bit costs one multiply-add fold.
-    (Computing the signs with md5 expressions inside the per-element
-    lambda costs dim x n_planes x n_tables md5 evaluations per vector:
-    Catalyst does not CSE inside HOF lambdas — measured ~5x slower on
-    the ann_lsh_topk bench.) ``table`` seeds an independent hash table
-    for OR-amplified multi-table LSH; bucket ids are identical to the
-    expression-level formulation this replaces.
+    ``table`` seeds an independent hash table for OR-amplified
+    multi-table LSH.
     """
     bits = []
     for i, signs in enumerate(_plane_signs(dim, n_planes, table)):
@@ -347,7 +347,7 @@ def kmeans_refine(
     ]
     for _ in range(iters):
         cents = spark.createDataFrame(
-            cents_rows, "centroid_id int, cvec array<double>"
+            cents_rows, "centroid_id long, cvec array<double>"
         )
         scored = corpus.select(
             F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
@@ -379,7 +379,7 @@ def kmeans_refine(
                         ],
                     }
                 ),
-                "centroid_id int, cvec array<double>",
+                "centroid_id long, cvec array<double>",
             )
             .collect()
         )
@@ -388,7 +388,7 @@ def kmeans_refine(
             (cid, moved.get(cid, vec)) for cid, vec in cents_rows
         ]
     return spark.createDataFrame(
-        cents_rows, "centroid_id int, cvec array<double>"
+        cents_rows, "centroid_id long, cvec array<double>"
     )
 
 

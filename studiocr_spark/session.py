@@ -36,18 +36,21 @@ def get_spark(
     """Build (or fetch) the session.
 
     ``master`` defaults to ``local[N]`` with N from ``SPARK_GRAFT_CPUS`` (or
-    all cores). On a real cluster, pass ``master=None`` with
-    ``spark-submit --master yarn/k8s`` and these configs still apply.
+    all cores) — but ONLY for bare ``python`` runs. Under ``spark-submit``
+    (detected via the pre-launched JVM gateway, PYSPARK_GATEWAY_PORT) the
+    submitted ``--master`` is respected: calling ``builder.master()`` here
+    would silently override ``--master yarn`` and run a cluster job
+    single-node on the driver container.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    if master is None:
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not under_submit:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
 
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -64,6 +67,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
+    if master is not None:
+        builder = builder.master(master)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -110,6 +110,36 @@ def test_recall_audit_floors(emb):
     assert n_hit / n_true >= 0.6, (n_hit, n_true)
 
 
+def test_signature_forms_agree(emb):
+    """The batched matmul signatures (production path) must produce the
+    SAME bucket ids as the expression form that serves as their spec."""
+    from studiocr_spark.operators.similarity import (
+        hyperplane_signature,
+        hyperplane_signatures,
+    )
+
+    n_planes, n_tables = 4, 3
+    batched = emb.select(
+        "vec_id",
+        hyperplane_signatures(
+            F.col("embedding"), 64, n_planes, n_tables
+        ).alias("sigs"),
+    )
+    expr = emb.select(
+        "vec_id",
+        F.array(
+            *[
+                hyperplane_signature(
+                    F.col("embedding"), 64, n_planes, table=t
+                )
+                for t in range(n_tables)
+            ]
+        ).alias("sigs"),
+    )
+    assert batched.exceptAll(expr).count() == 0
+    assert expr.exceptAll(batched).count() == 0
+
+
 def test_kmeans_refine_invariants(emb):
     """Lloyd refinement keeps centroid count/ids and stays above the
     recall floor when plugged into ivf_topk."""

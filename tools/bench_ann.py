@@ -48,7 +48,14 @@ def make_corpus(spark, n: int, path: str) -> None:
             for i in ids:
                 c = np.random.default_rng(int(i) % N_CLUSTERS).standard_normal(DIM)
                 c /= np.linalg.norm(c)
-                noise = np.random.default_rng(int(i)).standard_normal(DIM)
+                # noise seed OFFSET from the center seed: seeding with
+                # bare i made every vector with i < N_CLUSTERS (incl.
+                # all queries) reuse its center's rng, so its "noise"
+                # was the center itself — noise-free queries biased the
+                # measured recall optimistic
+                noise = np.random.default_rng(
+                    1_000_000_007 + int(i)
+                ).standard_normal(DIM)
                 rows.append((c + NOISE * noise / np.sqrt(DIM)).astype(np.float32))
             yield pd.DataFrame(
                 {"vec_id": ids, "embedding": [list(map(float, r)) for r in rows]}
