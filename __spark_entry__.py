@@ -617,6 +617,39 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_t_wide(spark, sf_dir, "documents"))
 
 
+def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every purchase event gains the most recent prior (or
+    simultaneous) click by the same user — click-through attribution.
+    Right side pre-aggregated to one row per (user, ts) via max_by for
+    determinism; the oracle is DuckDB's native ASOF LEFT JOIN."""
+    from studiocr_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("click_id"),
+            F.max_by("value", "event_id").alias("click_value"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purchases, clicks, on="ts", by="user_id",
+        right_cols=["click_id", "click_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts"),
+        "value",
+        "asof_click_id",
+        "asof_click_value",
+    )
+
+
 def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end C4-style corpus cleaning as ONE declarative plan:
     language filter -> quality floor -> exact-dedup canonical keep ->
@@ -887,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sample_stratified,
         "pack_shards": pack_shards,
         "clean_corpus": clean_corpus,
+        "asof_attribution": asof_attribution,
         "running_window_sum": running_window_sum,
         "rollup_orders": rollup_orders,
         "pivot_order_priority": pivot_order_priority,
@@ -1257,6 +1291,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    array_to_string(list_sort(hs)[1:4], '') AS fingerprint
             FROM grams
+        """,
+        "asof_attribution": """
+            WITH clicks AS (
+              SELECT user_id, ts,
+                     max(event_id) AS click_id,
+                     arg_max(value, event_id) AS click_value
+              FROM events WHERE event_type = 'click'
+              GROUP BY user_id, ts
+            ), purchases AS (
+              SELECT user_id, ts, event_id, value FROM events
+              WHERE event_type = 'purchase'
+            )
+            SELECT p.event_id, p.user_id, CAST(p.ts AS VARCHAR) AS ts,
+                   p.value, c.click_id AS asof_click_id,
+                   c.click_value AS asof_click_value
+            FROM purchases p ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "clean_corpus": rf"""
             WITH lang AS ({_lang_id_oracle()}),

@@ -1,0 +1,83 @@
+"""As-of join: for every left row, the most recent right row at or
+before it, per key (event attribution, price lookup, config-at-time).
+
+Spark has no ASOF JOIN operator; the naive formulation is a range theta
+join (quadratic per key) or a join + window re-rank (two shuffles and a
+blown-up intermediate). This implements the scalable union-tag shape:
+
+    union(left tagged 1, right tagged 0)
+      -> ONE shuffle on the key
+      -> ONE per-key sort on (time, tag)
+      -> last(carried right struct, ignorenulls) over the preceding rows
+      -> keep left rows
+
+Cost is a single hash partitioning plus a partition-local sort — the
+same wire bytes as a groupBy over the union, no matter how wide the
+time skew — and left rows with no prior right row keep a null carry
+(LEFT-join semantics). Right rows tagged 0 sort BEFORE left rows at an
+equal timestamp, giving the inclusive ``l.ts >= r.ts`` semantics of
+DuckDB's ``ASOF LEFT JOIN`` (the oracle for the gate entry).
+
+Determinism: callers must ensure at most one right row per (key, time)
+— pre-aggregate with max_by — otherwise "the" last row at a timestamp
+is partition-order dependent. The gate entry does exactly that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "user_id",
+    right_cols: list[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of-backward join (inclusive): every ``left`` row gains
+    ``prefix + c`` for each ``c`` in ``right_cols``, taken from the
+    latest ``right`` row with the same ``by`` and ``right[on] <=
+    left[on]``; nulls when no such row exists."""
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c not in (on, by)
+        ]
+    carry = F.struct(*[F.col(c) for c in right_cols])
+    r = right.select(
+        F.col(by),
+        F.col(on),
+        F.lit(0).alias("_tag"),
+        carry.alias("_carry"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in (on, by)],
+    )
+    l_extra = [c for c in left.columns if c not in (on, by)]
+    l = left.select(
+        F.col(by),
+        F.col(on),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(
+            r.schema["_carry"].dataType
+        ).alias("_carry"),
+        *l_extra,
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy(on, "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = r.unionByName(l).withColumn(
+        "_last", F.last("_carry", ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("_tag") == 1).select(
+        by,
+        on,
+        *l_extra,
+        *[
+            F.col("_last").getField(c).alias(f"{prefix}{c}")
+            for c in right_cols
+        ],
+    )
