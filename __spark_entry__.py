@@ -650,6 +650,29 @@ def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless point-in-interval join: purchases falling inside any
+    10-minute window opened by a signup (bucketed candidate join —
+    Catalyst would plan the bare inequality as a nested loop). Oracle
+    is the plain inequality join (DuckDB IEJoin)."""
+    from studiocr_spark.operators.asof import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    intervals = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("interval_id"),
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 600 SECONDS")).alias("end"),
+        )
+    )
+    points = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("point_id"), "ts"
+    )
+    out = range_join(points, intervals, bucket_seconds=600)
+    return out.select("point_id", "interval_id")
+
+
 def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end C4-style corpus cleaning as ONE declarative plan:
     language filter -> quality floor -> exact-dedup canonical keep ->
@@ -921,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": pack_shards,
         "clean_corpus": clean_corpus,
         "asof_attribution": asof_attribution,
+        "range_join_events": range_join_events,
         "running_window_sum": running_window_sum,
         "rollup_orders": rollup_orders,
         "pivot_order_priority": pivot_order_priority,
@@ -1308,6 +1332,14 @@ def oracle_sql() -> dict[str, str]:
                    c.click_value AS asof_click_value
             FROM purchases p ASOF LEFT JOIN clicks c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "range_join_events": """
+            SELECT p.event_id AS point_id, s.event_id AS interval_id
+            FROM (SELECT event_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            JOIN (SELECT event_id, ts FROM events
+                  WHERE event_type = 'signup') s
+              ON p.ts >= s.ts AND p.ts < s.ts + INTERVAL 600 SECONDS
         """,
         "clean_corpus": rf"""
             WITH lang AS ({_lang_id_oracle()}),

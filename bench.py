@@ -57,6 +57,8 @@ HEADLINE = [
     "sample_stratified",
     "pack_shards",
     "clean_corpus",
+    "asof_attribution",
+    "range_join_events",
 ]
 
 

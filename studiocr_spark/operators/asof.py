@@ -1,4 +1,7 @@
-"""As-of join: for every left row, the most recent right row at or
+"""Temporal joins Spark lacks as built-ins: as-of join and bucketed
+range join.
+
+As-of join: for every left row, the most recent right row at or
 before it, per key (event attribution, price lookup, config-at-time).
 
 Spark has no ASOF JOIN operator; the naive formulation is a range theta
@@ -80,4 +83,60 @@ def asof_join(
             F.col("_last").getField(c).alias(f"{prefix}{c}")
             for c in right_cols
         ],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_ts: str = "start",
+    end_ts: str = "end",
+    bucket_seconds: int = 3600,
+    by: str | None = None,
+) -> DataFrame:
+    """Point-in-interval join (half-open: start <= point < end) without
+    a quadratic range theta join.
+
+    Catalyst plans a bare inequality join as BroadcastNestedLoopJoin or
+    a cartesian — O(|points| x |intervals|). The scale shape here is
+    interval bucketing: each interval explodes into the fixed-width
+    time buckets it covers, each point lives in exactly ONE bucket, and
+    candidates meet on a bucket equi-join (+ optional ``by`` key), then
+    the exact range predicate filters. Because a point has one bucket,
+    every qualifying (point, interval) pair meets exactly once — no
+    dedup pass. ``bucket_seconds`` trades shuffle fan-out (intervals
+    emit span/bucket_seconds rows) against candidate selectivity; size
+    it near the median interval length.
+
+    Output: all point columns plus every interval column (interval
+    columns keep their names; disambiguate before calling if they
+    clash).
+    """
+    keys = ["_bucket"] + ([by] if by else [])
+
+    def epoch(c: str):
+        # TIMESTAMP_NTZ has no direct long cast; unix_timestamp is
+        # deterministic under the session's pinned-UTC timezone
+        return F.unix_timestamp(F.col(c))
+
+    p = points.withColumn(
+        "_bucket", F.floor(epoch(point_ts) / bucket_seconds)
+    )
+    i = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(epoch(start_ts) / bucket_seconds),
+                F.floor(epoch(end_ts) / bucket_seconds),
+            )
+        ),
+    )
+    return (
+        p.join(i, keys)
+        .filter(
+            (F.col(point_ts) >= F.col(start_ts))
+            & (F.col(point_ts) < F.col(end_ts))
+        )
+        .drop("_bucket")
     )

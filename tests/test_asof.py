@@ -53,3 +53,53 @@ def test_asof_single_shuffle(spark):
     # union-tag shape: exactly one exchange (hash on the key); a
     # join+window formulation would need two
     assert len(shuffle_exchanges(df)) == 1
+
+
+def test_range_join_semantics(spark):
+    """Half-open [start, end); multi-bucket intervals; each qualifying
+    pair appears exactly once (a point has one bucket)."""
+    from studiocr_spark.operators.asof import range_join
+
+    points = spark.createDataFrame(
+        [(1, "2020-01-01 00:10:00"), (2, "2020-01-01 02:00:00"),
+         (3, "2020-01-01 03:30:00")],
+        "point_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    intervals = spark.createDataFrame(
+        [
+            # spans 3 one-hour buckets
+            (10, "2020-01-01 00:00:00", "2020-01-01 02:00:00"),
+            # exactly at point 2's ts -> inclusive start
+            (20, "2020-01-01 02:00:00", "2020-01-01 02:30:00"),
+        ],
+        "interval_id long, start string, end string",
+    ).withColumn("start", F.to_timestamp("start")).withColumn(
+        "end", F.to_timestamp("end")
+    )
+    got = sorted(
+        (r.point_id, r.interval_id)
+        for r in range_join(
+            points, intervals, bucket_seconds=3600
+        ).collect()
+    )
+    # point 1 in interval 10; point 2 NOT in 10 (end exclusive) but in
+    # 20 (start inclusive); point 3 in nothing
+    assert got == [(1, 10), (2, 20)]
+
+
+def test_range_join_is_equijoin_not_nlj(spark):
+    from studiocr_spark.operators.asof import range_join
+    from studiocr_spark.plans.explain import formatted_plan
+
+    points = spark.createDataFrame(
+        [(1, "2020-01-01 00:10:00")], "point_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    intervals = spark.createDataFrame(
+        [(10, "2020-01-01 00:00:00", "2020-01-01 01:00:00")],
+        "interval_id long, start string, end string",
+    ).withColumn("start", F.to_timestamp("start")).withColumn(
+        "end", F.to_timestamp("end")
+    )
+    plan = formatted_plan(range_join(points, intervals))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
