@@ -162,3 +162,19 @@ def test_bm25_is_lazy_and_broadcasts_stats(spark, extracted):
     assert after == before, "bm25_search plan-build submitted a Spark job"
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_clean_corpus_no_cartesian(spark):
+    """The composed cleaning pipeline: several joins, zero cartesians,
+    and the digest dedup join is an equi-join."""
+    df = entry.clean_corpus(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_range_join_entry_is_equijoin(spark):
+    df = entry.range_join_events(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
