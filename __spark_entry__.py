@@ -531,7 +531,9 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN recall audit (rows-only: recall is
     algorithm-defined, but each row encodes measured recall@5 vs exact
-    brute force and whether it meets the 0.6 floor)."""
+    brute force; passed requires every query >= 0.6 AND the mean across
+    queries >= 0.9 — the tight dial that catches systematic recall
+    regressions tie-noise can't excuse)."""
     from studiocr_spark.operators.similarity import (
         brute_force_topk,
         lsh_topk,
@@ -544,12 +546,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, emb, dim=64, k=5, n_planes=4, n_tables=8, multiprobe=True
     )
     exact = brute_force_topk(queries, emb, k=5)
-    return recall_at_k(approx, exact, floor=0.6)
+    return recall_at_k(approx, exact, floor=0.6, mean_floor=0.9)
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell ANN recall audit (rows-only: recall depends on the probe
-    budget; rows encode measured recall@5 vs the 0.6 floor)."""
+    budget; rows encode measured recall@5, per-query floor 0.6 plus a
+    0.9 mean-recall floor)."""
     from studiocr_spark.operators.similarity import (
         brute_force_topk,
         ivf_topk,
@@ -560,7 +563,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8)
     approx = ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
     exact = brute_force_topk(queries, emb, k=5)
-    return recall_at_k(approx, exact, floor=0.6)
+    return recall_at_k(approx, exact, floor=0.6, mean_floor=0.9)
 
 
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -575,7 +578,7 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from studiocr_spark.operators.textstats import round6
 
     emb = _t(spark, sf_dir, "embeddings")
-    found = nd(emb, dim=64, threshold=0.35, n_planes=4, n_tables=8)
+    found = nd(emb, dim=64, threshold=0.35, n_planes=4, n_tables=16)
     truth = exact_near_dup_pairs(emb, threshold=0.35)
     # lazy: aggregate both sides, cross-join the two 1-row frames
     # (count the truth-intersection rather than trusting precision == 1)
@@ -589,7 +592,7 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_found",
         "n_true",
         round6(recall).alias("recall"),
-        (recall >= 0.6).alias("passed"),
+        (recall >= 0.9).alias("passed"),
     )
 
 

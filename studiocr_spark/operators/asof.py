@@ -48,6 +48,11 @@ def asof_join(
         right_cols = [
             c for c in right.columns if c not in (on, by)
         ]
+    # Join-semantics parity: a right row with NULL ts can never satisfy
+    # l.ts >= r.ts, and a NULL key never equi-matches — but ascending
+    # orderBy sorts nulls FIRST and window partitionBy groups nulls
+    # TOGETHER, so unfiltered they would be carried into left rows.
+    right = right.filter(F.col(on).isNotNull() & F.col(by).isNotNull())
     carry = F.struct(*[F.col(c) for c in right_cols])
     r = right.select(
         F.col(by),
@@ -94,6 +99,7 @@ def range_join(
     end_ts: str = "end",
     bucket_seconds: int = 3600,
     by: str | None = None,
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """Point-in-interval join (half-open: start <= point < end) without
     a quadratic range theta join.
@@ -109,11 +115,27 @@ def range_join(
     emit span/bucket_seconds rows) against candidate selectivity; size
     it near the median interval length.
 
+    Skew: with ``by=None`` the equi-join key is the time bucket alone,
+    so a bursty stream puts a whole burst (plus every interval
+    overlapping it) into ONE reducer. The keyless path therefore salts:
+    each point hashes its full row into one of ``salt_buckets`` salts,
+    each interval-bucket row replicates across ALL salts, and the join
+    key becomes (bucket, salt) — a burst spreads over ``salt_buckets``
+    reducers at the cost of ``salt_buckets``× interval fan-out (cheap:
+    intervals are the small side of a point-in-interval join). Keyed
+    joins (``by`` set) skip the salt; AQE skew-split covers residual
+    per-key skew there.
+
     Output: all point columns plus every interval column (interval
     columns keep their names; disambiguate before calling if they
     clash).
     """
-    keys = ["_bucket"] + ([by] if by else [])
+    salted = by is None and salt_buckets > 1
+    keys = (
+        ["_bucket"]
+        + ([by] if by else [])
+        + (["_salt"] if salted else [])
+    )
 
     def epoch(c: str):
         # TIMESTAMP_NTZ has no direct long cast; unix_timestamp is
@@ -132,11 +154,27 @@ def range_join(
             )
         ),
     )
+    if salted:
+        # hash the WHOLE point row: a burst shares its timestamp, so
+        # hashing ts alone would put the burst back on one reducer
+        p = p.withColumn(
+            "_salt",
+            F.pmod(
+                F.hash(*[F.col(c) for c in points.columns]),
+                F.lit(salt_buckets),
+            ),
+        )
+        i = i.withColumn(
+            "_salt",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+            ),
+        )
     return (
         p.join(i, keys)
         .filter(
             (F.col(point_ts) >= F.col(start_ts))
             & (F.col(point_ts) < F.col(end_ts))
         )
-        .drop("_bucket")
+        .drop(*[k for k in ("_bucket", "_salt") if k in keys])
     )

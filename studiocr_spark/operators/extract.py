@@ -250,19 +250,20 @@ def run_extract(
     pages: DataFrame,
     backend: str = "bitmap",
     num_partitions: int | None = None,
-    persist: bool = True,
+    persist: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Convenience: (ocr_pages_df, ocr_blocks_df) from a pages table.
 
     ``ocr_pages`` carries page_stats computed shuffle-free from the raw
     array column (operators/stats.py).
 
-    ``persist`` (default True) caches the decoded raw rows so a caller
-    that materializes BOTH outputs pays the decode UDF once, not twice —
-    at 100 TB the decode is the whole bill. Callers that want a pure
-    lazy plan (e.g. to write a single output) can pass persist=False;
-    otherwise call ``spark.catalog.clearCache()`` (or unpersist via the
-    returned frames' lineage) when done.
+    ``persist=True`` caches the decoded raw rows (MEMORY_AND_DISK) so a
+    caller that materializes BOTH outputs pays the decode UDF once, not
+    twice — at 100 TB the decode is the whole bill. It is opt-in: the
+    default keeps the plan pure/lazy so repeated calls in a long-lived
+    session never accumulate cached image blobs. A caller that opts in
+    owns cleanup — unpersist via either returned frame's lineage or
+    ``spark.catalog.clearCache()`` once both outputs are materialized.
     """
     raw = extract_raw(pages, backend=backend, num_partitions=num_partitions)
     if persist:

@@ -197,8 +197,14 @@ def bm25_search(
     with idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)).
 
     One aggregation over the postings restricted to query terms (equi-
-    join on term — broadcast of the tiny term list), plus two broadcast
-    stats joins (doc lengths, term dfs). Deterministic tie-break by url.
+    join on term — broadcast of the tiny term list), plus a 1-row corpus
+    stats broadcast and a tiny per-term df broadcast. Doc lengths are a
+    per-url aggregate of the WHOLE postings corpus, so they are NEVER
+    broadcast-hinted: at 10^9 docs that would be a multi-GB driver
+    broadcast. The tf⋈doc_len join stays a shuffle equi-join on url
+    (both sides already hash-partition on url; AQE may still downgrade
+    it to a broadcast at runtime when the corpus is genuinely small).
+    Deterministic tie-break by url.
     """
     words = split_query(query)
     spark = postings.sparkSession
@@ -226,7 +232,7 @@ def bm25_search(
     tf = matched.groupBy("url", "term").agg(F.count("*").alias("tf"))
     scored = (
         tf.join(F.broadcast(df_t), "term")
-        .join(F.broadcast(doc_len), "url")
+        .join(doc_len, "url")  # corpus-sized side: no broadcast hint
         .crossJoin(stats)
         .withColumn(
             "idf",

@@ -48,6 +48,24 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df)
 
 
+def broadcast_hash_join_keys(df: DataFrame) -> list[str]:
+    """The 'Left keys' detail line of every BroadcastHashJoin in the plan.
+
+    Lets tests pin WHICH joins are broadcast: e.g. BM25 must broadcast
+    per-term stats (keys on ``term``) but never the per-url doc-length
+    aggregate of the full postings corpus (keys on ``url``).
+    """
+    plan = formatted_plan(df)
+    keys: list[str] = []
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    for block in blocks:
+        if block.startswith("BroadcastHashJoin"):
+            m = re.search(r"Left keys \[\d+\]: \[([^\]]*)\]", block)
+            if m:
+                keys.append(m.group(1))
+    return keys
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """PushedFilters lists from every parquet scan in the plan."""
     plan = formatted_plan(df)

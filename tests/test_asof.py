@@ -45,6 +45,27 @@ def test_asof_carries_nulls_inside_struct(spark):
     assert row.asof_v is None  # the ts=15 null-valued row, not ts=10
 
 
+def test_asof_ignores_null_right_timestamps_and_keys(spark):
+    """DuckDB ASOF: `l.ts >= r.ts` is never true for NULL ts, and a NULL
+    key never equi-matches. Unfiltered, Spark's nulls-first sort would
+    attribute a null-ts right row's carry to EVERY left row of its key,
+    and null keys would group together in the window partition."""
+    left = spark.createDataFrame(
+        [(1, 20, "x"), (None, 20, "y")],
+        "user_id long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 999.0), (None, 10, 888.0), (1, 10, 100.0)],
+        "user_id long, ts long, v double",
+    )
+    got = {
+        r.tag: r.asof_v
+        for r in asof_join(left, right, on="ts", by="user_id").collect()
+    }
+    # null-ts right row never wins; null-key left row matches nothing
+    assert got == {"x": 100.0, "y": None}
+
+
 def test_asof_single_shuffle(spark):
     from studiocr_spark.plans.explain import shuffle_exchanges
 
@@ -85,6 +106,53 @@ def test_range_join_semantics(spark):
     # point 1 in interval 10; point 2 NOT in 10 (end exclusive) but in
     # 20 (start inclusive); point 3 in nothing
     assert got == [(1, 10), (2, 20)]
+
+
+def test_range_join_keyless_salts_bursts(spark):
+    """A burst (many points at ONE timestamp) must not land on a single
+    reducer in the keyless case: the join key carries a salt derived
+    from the whole point row, intervals replicate across salts, and the
+    results are identical to the unsalted join."""
+    from studiocr_spark.operators.asof import range_join
+
+    points = spark.createDataFrame(
+        [(i, "2020-01-01 00:10:00") for i in range(200)],
+        "point_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    intervals = spark.createDataFrame(
+        [
+            (10, "2020-01-01 00:00:00", "2020-01-01 01:00:00"),
+            (20, "2020-01-01 00:05:00", "2020-01-01 00:20:00"),
+            (30, "2020-01-01 02:00:00", "2020-01-01 03:00:00"),
+        ],
+        "interval_id long, start string, end string",
+    ).withColumn("start", F.to_timestamp("start")).withColumn(
+        "end", F.to_timestamp("end")
+    )
+    salted = range_join(points, intervals, bucket_seconds=3600)
+    unsalted = range_join(
+        points, intervals, bucket_seconds=3600, salt_buckets=1
+    )
+    assert sorted(
+        (r.point_id, r.interval_id) for r in salted.collect()
+    ) == sorted((r.point_id, r.interval_id) for r in unsalted.collect())
+    # the shuffle key must include the salt (burst spreads over reducers)
+    from studiocr_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(salted)
+    assert "_salt" in plan, plan
+    # salt hashes the full row, not just the (shared) burst timestamp:
+    # the 200 same-ts points spread across >1 distinct salt value
+    n_salts = (
+        points.withColumn(
+            "_salt",
+            F.pmod(F.hash(*[F.col(c) for c in points.columns]), F.lit(8)),
+        )
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts > 1
 
 
 def test_range_join_is_equijoin_not_nlj(spark):

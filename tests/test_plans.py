@@ -7,6 +7,8 @@ cluster bill does.
 
 from __future__ import annotations
 
+import re
+
 import __spark_entry__ as entry
 from pyspark.sql import functions as F
 
@@ -162,6 +164,30 @@ def test_bm25_is_lazy_and_broadcasts_stats(spark, extracted):
     assert after == before, "bm25_search plan-build submitted a Spark job"
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bm25_never_hints_doc_length_broadcast(spark, extracted):
+    """doc_len is a per-url aggregate of the FULL postings corpus — at
+    10^9 docs a broadcast HINT on it is a driver OOM regardless of the
+    cost model. Only per-term stats joins may carry a broadcast hint;
+    the url-keyed dl join must be left to the planner (cost-based
+    broadcast at toy scale is fine — a forced hint is the hazard)."""
+    from studiocr_spark.operators.index import build_postings
+    from studiocr_spark.operators.search import bm25_search
+
+    _, _, ocr_blocks = extracted
+    postings = build_postings(ocr_blocks)
+    df = bm25_search(postings, "cat dog")
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    url_joins = [
+        line
+        for line in optimized.splitlines()
+        if re.search(r"Join .*\(url#\d+ = url#\d+\)", line)
+    ]
+    assert url_joins, optimized
+    assert all("broadcast" not in line for line in url_joins), url_joins
+    # term-keyed stats joins keep their hints
+    assert "strategy=broadcast" in optimized
 
 
 def test_clean_corpus_no_cartesian(spark):
