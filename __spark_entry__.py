@@ -681,25 +681,30 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     language filter -> quality floor -> exact-dedup canonical keep ->
     deterministic 50% downsample. The composition query for the whole
     training-data-pipeline family — every stage is the same operator
-    the standalone entries check, so the oracle composes their SQL."""
-    from studiocr_spark.operators.dedup import exact_duplicates
+    the standalone entries check, so the oracle composes their SQL.
+
+    Shape: lang/quality are pure column projections (with_lang_id /
+    with_quality — no self-joins), and the canonical keep is a window
+    over the content digest — exactly ONE exchange in the whole plan
+    (pinned in tests/test_plans.py). The round-2 formulation joined two
+    narrow projections of the same relation back on doc_id and then
+    semi-joined the dedup keep: three avoidable full-corpus shuffles."""
+    from studiocr_spark.operators.dedup import keep_canonical
     from studiocr_spark.operators.sampling import hash_unit
-    from studiocr_spark.operators.textstats import lang_id, quality_scores
+    from studiocr_spark.operators.textstats import with_lang_id, with_quality
 
     docs = _t(spark, sf_dir, "documents")
-    lang = lang_id(docs)
-    qual = quality_scores(docs).select("doc_id", "quality")
     kept = (
-        docs.join(lang.select("doc_id", "pred_lang"), "doc_id")
-        .join(qual, "doc_id")
+        with_quality(with_lang_id(docs))
         .filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.55))
+        # the entry output never needs text — project the digest and
+        # drop the text BEFORE the window shuffle, so only
+        # (ids, digest, scores) ride the one exchange
+        .select(
+            "doc_id", "pred_lang", "quality", F.md5("text").alias("_h")
+        )
     )
-    dd = exact_duplicates(kept, hash_first=True)
-    canon = kept.join(
-        dd.filter(~F.col("is_duplicate")).select("doc_id"),
-        "doc_id",
-        "left_semi",
-    )
+    canon = keep_canonical(kept, text_col="_h", digest=False).drop("_h")
     return canon.filter(
         hash_unit(F.col("doc_id"), "clean") < 0.5
     ).select("doc_id", "pred_lang", "quality")
@@ -837,7 +842,33 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_boilerplate(html)
 
 
-# -- extract pipeline (not SQL-expressible: rows-only checks) ---------------
+# -- extract pipeline ---------------------------------------------------
+# The decode UDF itself is pytest-byte-identical (not SQL-expressible),
+# but everything DOWNSTREAM of it is relational: the entries dump the raw
+# decode rows to a fixed parquet path and the DuckDB oracles transcribe
+# the block explode (F1 whitespace quirk included) and the page-stats
+# aggregates over that dump — hash-compared like any other entry.
+
+_EXTRACT_DUMP = "/tmp/entry_extract_raw_v1"
+
+
+def _extract_raw_dumped(spark: SparkSession) -> DataFrame:
+    """Run the 60-doc bitmap decode and dump (url, page_no, raw,
+    page_stats) to ``_EXTRACT_DUMP``; returns the read-back frame so the
+    Spark side and the oracle SQL consume the IDENTICAL stored rows."""
+    from studiocr_spark.gen import generate_pages
+    from studiocr_spark.operators.extract import extract_raw
+    from studiocr_spark.session import ship_package
+
+    ship_package(spark)
+    pages = generate_pages(spark, 60, partitions=4)
+    raw = extract_raw(pages, backend="bitmap").filter(
+        F.col("error").isNull()
+    )
+    raw.select("url", "page_no", "raw", "page_stats").write.mode(
+        "overwrite"
+    ).parquet(_EXTRACT_DUMP)
+    return spark.read.parquet(_EXTRACT_DUMP)
 
 def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming watermarked windowed rollup over events,
@@ -871,29 +902,21 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def extract_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The OCR extract UDF chain on a generated 60-doc corpus."""
-    from studiocr_spark.gen import generate_pages
-    from studiocr_spark.operators.extract import blocks_from_raw, extract_raw
-    from studiocr_spark.session import ship_package
+    """The OCR extract UDF chain on a generated 60-doc corpus; the block
+    explode + F1 whitespace quirk are oracle-checked over the dump."""
+    from studiocr_spark.operators.extract import blocks_from_raw
 
-    ship_package(spark)
-    pages = generate_pages(spark, 60, partitions=4)
-    raw = extract_raw(pages, backend="bitmap")
-    return blocks_from_raw(raw.filter(F.col("error").isNull()))
+    return blocks_from_raw(_extract_raw_dumped(spark))
 
 
 def extract_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed page_stats structs on a generated corpus (rows-only)."""
-    from studiocr_spark.gen import generate_pages
-    from studiocr_spark.operators.extract import extract_raw
+    """Typed page_stats structs on a generated corpus; the A1-A5
+    aggregate semantics (sorted unique texts incl. the kept empty
+    string, dense ASCII histogram over RAW texts) are oracle-checked
+    over the dump."""
     from studiocr_spark.operators.stats import page_stats_from_raw
-    from studiocr_spark.session import ship_package
 
-    ship_package(spark)
-    pages = generate_pages(spark, 60, partitions=4)
-    raw = extract_raw(pages, backend="bitmap").filter(
-        F.col("error").isNull()
-    )
+    raw = _extract_raw_dumped(spark)
     # the driver's canonicalizer sorts/hashes cells — array columns are
     # unhashable there, so both arrays are flattened to scalar strings
     return page_stats_from_raw(raw).select(
@@ -1397,6 +1420,48 @@ def oracle_sql() -> dict[str, str]:
                    n_tokens
             FROM cum
         """,
+        # Both extract oracles read the raw-decode dump the entries write
+        # (_EXTRACT_DUMP): the decode UDF is pytest-byte-identical; these
+        # transcribe everything AFTER it. The whitespace class mirrors
+        # Java \s + NEL/NBSP; '' never matches (quirk F1: kept).
+        "extract_blocks": rf"""
+            WITH src AS (
+              SELECT url, page_no, raw
+              FROM read_parquet('{_EXTRACT_DUMP}/*.parquet')
+            ), ex AS (
+              SELECT url, page_no, unnest(raw) AS r FROM src
+            )
+            SELECT url, page_no,
+                   r.block_no AS block_no, r."left" AS "left",
+                   r.top AS top, r.width AS width, r.height AS height,
+                   r.conf AS conf, r.text AS text
+            FROM ex
+            WHERE NOT regexp_matches(r.text, '^[\s\x{{0085}}\x{{00a0}}]+$')
+        """,
+        "extract_page_stats": rf"""
+            WITH src AS (
+              SELECT url, page_no, raw
+              FROM read_parquet('{_EXTRACT_DUMP}/*.parquet')
+            ), per AS (
+              SELECT url, page_no,
+                list_sort(list_distinct(list_transform(
+                  list_filter(raw, r -> NOT regexp_matches(
+                    r.text, '^[\s\x{{0085}}\x{{00a0}}]+$')),
+                  r -> r.text))) AS ut,
+                -- char stats use the RAW texts incl. whitespace-only
+                -- rows (OcrPageData.py:41-43)
+                array_to_string(list_transform(raw, r -> r.text), '')
+                  AS s
+              FROM src
+            )
+            SELECT url, page_no,
+                   array_to_string(ut, ',') AS unique_texts,
+                   array_to_string(list_transform(range(32, 127),
+                     c -> CAST(length(s) - length(replace(s,
+                            chr(CAST(c AS INT)), '')) AS VARCHAR)), ',')
+                     AS ascii_histogram
+            FROM per
+        """,
     }
 
 
@@ -1404,7 +1469,16 @@ def _minhash_oracle(
     n_hashes: int = 8, rows_per_band: int = 2, threshold: float = 0.3
 ) -> str:
     """DuckDB transcription of the MinHash-LSH pipeline (word 2-shingles,
-    md5 min-hashing, banded buckets, exact Jaccard verification)."""
+    universal-hash min-hashing over one md5 per shingle, banded buckets,
+    exact Jaccard verification). The (seed, a, b) coefficients are the
+    same md5-derived integers the Spark side uses
+    (studiocr_spark.operators.dedup.minhash_params)."""
+    from studiocr_spark.operators.dedup import MH_PRIME, minhash_params
+
+    a_co, b_co = minhash_params(n_hashes)
+    seed_rows = ", ".join(
+        f"({j}, {a_co[j]}, {b_co[j]})" for j in range(n_hashes)
+    )
     return f"""
         WITH ws AS (
           SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -1413,15 +1487,17 @@ def _minhash_oracle(
                  CASE WHEN i + 1 <= len(w) THEN w[i] || ' ' || w[i + 1]
                       ELSE w[i] END AS shingle
           FROM ws, LATERAL (SELECT unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i)
-        ), seeds AS (
-          SELECT unnest(range(0, {n_hashes})) AS seed
+        ), seeds(seed, a, b) AS (
+          SELECT * FROM (VALUES {seed_rows}) v(seed, a, b)
         ), mh AS (
           SELECT doc_id, seed,
-                 min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+                 min((a * CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)
+                      + b) % {MH_PRIME}) AS minhash
           FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
         ), bands AS (
           SELECT doc_id, CAST(seed / {rows_per_band} AS INT) AS band,
-                 string_agg(minhash, ',' ORDER BY seed) AS band_key
+                 string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)
+                   AS band_key
           FROM mh GROUP BY doc_id, CAST(seed / {rows_per_band} AS INT)
         ), cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

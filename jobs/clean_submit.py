@@ -9,9 +9,11 @@ documents(doc_id, text, ...) -> cleaned docs + training shards::
       --shard-budget 1000000 --shard-buckets 4096
 
 Stages (all declarative, one submitted plan per sink):
-  1. language-ID + quality scoring (JVM expressions)
+  1. language-ID + quality scoring — pure column projections
+     (with_lang_id / with_quality), zero shuffles
   2. filter to --lang above --min-quality
-  3. exact dedup, digest-only shuffle, keep canonical docs
+  3. exact dedup as min-id window over the content digest: the ONLY
+     exchange before the sample filter
   4. deterministic --sample downsample (salted hash of doc_id —
      re-runs and retries keep the identical row set)
   5. token-budget shard assignment (hash-bucketed running sums)
@@ -50,29 +52,23 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import functions as F
 
-    from studiocr_spark.operators.dedup import exact_duplicates
+    from studiocr_spark.operators.dedup import keep_canonical
     from studiocr_spark.operators.sampling import hash_unit, pack_sequences
-    from studiocr_spark.operators.textstats import lang_id, quality_scores
+    from studiocr_spark.operators.textstats import with_lang_id, with_quality
     from studiocr_spark.session import get_spark
 
     spark = get_spark(app_name="studiocr-clean", master=args.master)
     docs = spark.read.parquet(args.input)
 
-    lang = lang_id(docs).select("doc_id", "pred_lang")
-    qual = quality_scores(docs).select("doc_id", "quality")
-    kept = (
-        docs.join(lang, "doc_id")
-        .join(qual, "doc_id")
-        .filter(
-            (F.col("pred_lang") == args.lang)
-            & (F.col("quality") >= args.min_quality)
-        )
+    # lang/quality attach as pure projections (no self-joins); the
+    # canonical keep is one digest-keyed window — the output here keeps
+    # the full document, so text rides that single exchange once
+    kept = with_quality(with_lang_id(docs)).filter(
+        (F.col("pred_lang") == args.lang)
+        & (F.col("quality") >= args.min_quality)
     )
-    dd = exact_duplicates(kept, hash_first=True)
-    canon = kept.join(
-        dd.filter(~F.col("is_duplicate")).select("doc_id"),
-        "doc_id",
-        "left_semi",
+    canon = keep_canonical(kept).select(
+        *docs.columns, "pred_lang", "quality"
     )
     if args.sample < 1.0:
         canon = canon.filter(hash_unit(F.col("doc_id"), "clean") < args.sample)

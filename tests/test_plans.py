@@ -190,13 +190,16 @@ def test_bm25_never_hints_doc_length_broadcast(spark, extracted):
     assert "strategy=broadcast" in optimized
 
 
-def test_clean_corpus_no_cartesian(spark):
-    """The composed cleaning pipeline: several joins, zero cartesians,
-    and the digest dedup join is an equi-join."""
+def test_clean_corpus_single_exchange(spark):
+    """The composed cleaning pipeline attaches lang/quality as pure
+    projections and dedups via a digest-keyed window: exactly ONE
+    shuffle exchange in the whole plan (round 2 had 3+ from self-joins
+    of narrow projections back onto the same relation)."""
     df = entry.clean_corpus(spark, SF)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert len(shuffle_exchanges(df)) == 1, plan
 
 
 def test_range_join_entry_is_equijoin(spark):
