@@ -26,9 +26,18 @@ from pyspark.sql import Column, DataFrame, SparkSession
 
 
 def iceberg_available(spark: SparkSession) -> bool:
-    """True when an Iceberg catalog is on the classpath + configured."""
+    """True when the Iceberg runtime is on the JVM classpath.
+
+    Must go through ``Class.forName``: py4j resolves a missing class
+    path to a truthy ``JavaPackage`` object WITHOUT raising, so the
+    naive ``spark._jvm.org.apache.iceberg.Table`` probe reports
+    available even on a jar-less classpath (round-2 bug: the
+    IcebergCatalog guard never fired).
+    """
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.Table"
+        )
         return True
     except Exception:
         return False
@@ -166,6 +175,9 @@ class IcebergCatalog:
         self.term_buckets = term_buckets
 
     def create_tables(self) -> None:
+        self.spark.sql(
+            f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.ocr"
+        )
         for stmt in ICEBERG_DDL.format(
             catalog=self.catalog,
             n_buckets=self.n_buckets,

@@ -197,9 +197,11 @@ writes that a real cluster spreads across executor-local storage.
 | local[{high}] | {t_high:.2f} | {thr_high:.2f} | {w_high:.2f} |
 
 **Scaling efficiency** T({high}) / ({high // low} x T({low})) =
-**{efficiency:.3f}** (target >= 0.8: {"PASS" if summary["pass"] else "FAIL"},
-raw or relative-to-hardware-control — the same criterion the JSON
-summary's ``pass`` field reports).
+**{efficiency:.4f}** raw. Target >= 0.8:
+{"PASS" if summary["pass"] else "FAIL"} under the documented criterion
+(raw efficiency >= 0.8 OR efficiency relative to the no-Spark hardware
+control >= 0.8 — the control-relative reading here is {eff_vs:.3f});
+the JSON summary's ``pass`` field reports the same criterion.
 
 **Hardware control**: the identical decode+stats workload under plain
 ``multiprocessing`` (no Spark) on this VM scales at
