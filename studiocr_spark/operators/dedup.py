@@ -597,6 +597,7 @@ def ngram_jaccard_pairs(
     n: int = 2,
     threshold: float = 0.5,
     max_doc_freq: int = 100,
+    checkpoint_candidates: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via shared-shingle blocking + exact Jaccard.
 
@@ -628,4 +629,10 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
+    # the candidate pairs feed jaccard_verify twice (join keys + doc
+    # pruning set); checkpoint so the shingle self-join runs once.
+    # checkpoint_candidates=False keeps the full plan visible (plan-pin
+    # tests) or avoids localCheckpoint under dynamic allocation.
+    if checkpoint_candidates:
+        pairs = pairs.localCheckpoint(eager=False)
     return jaccard_verify(pairs, docs, text_col, n, threshold)

@@ -133,8 +133,15 @@ def test_lsh_topk_broadcasts_query_buckets(spark):
 def test_ngram_jaccard_broadcasts_hot_set_only(spark):
     """The skew guard must broadcast the HOT shingle set (tiny by
     construction) as a left-anti build side — broadcasting the rare set
-    (~all distinct shingles) was the round-1 scale hazard."""
-    df = entry.dedup_ngram_jaccard(spark, SF)
+    (~all distinct shingles) was the round-1 scale hazard. Checkpointing
+    is disabled so the candidate subplan stays visible to the pin (the
+    entry runs with it on; same logical shape)."""
+    from studiocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = entry._t(spark, SF, "documents")
+    df = ngram_jaccard_pairs(
+        docs, threshold=0.3, max_doc_freq=50, checkpoint_candidates=False
+    )
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan and "BuildRight" in plan, plan
