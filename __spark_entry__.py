@@ -844,31 +844,38 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- extract pipeline ---------------------------------------------------
 # The decode UDF itself is pytest-byte-identical (not SQL-expressible),
-# but everything DOWNSTREAM of it is relational: the entries dump the raw
-# decode rows to a fixed parquet path and the DuckDB oracles transcribe
-# the block explode (F1 whitespace quirk included) and the page-stats
-# aggregates over that dump — hash-compared like any other entry.
+# but everything DOWNSTREAM of it is relational. The DuckDB oracles read
+# a COMMITTED fixture of the deterministic 60-doc raw decode
+# (tests/fixtures/extract_raw_expected) and transcribe the block explode
+# (F1 whitespace quirk included) and the page-stats aggregates over it.
+# The Spark entries run the decode LIVE — so the hash compare doubles as
+# a drift gate: any change to the decode/bitmap chain that alters a
+# byte mismatches against the fixture and fails the driver gate.
 
-_EXTRACT_DUMP = "/tmp/entry_extract_raw_v1"
+_EXTRACT_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "tests",
+    "fixtures",
+    "extract_raw_expected",
+)
 
 
-def _extract_raw_dumped(spark: SparkSession) -> DataFrame:
-    """Run the 60-doc bitmap decode and dump (url, page_no, raw,
-    page_stats) to ``_EXTRACT_DUMP``; returns the read-back frame so the
-    Spark side and the oracle SQL consume the IDENTICAL stored rows."""
+def _extract_raw_live(spark: SparkSession) -> DataFrame:
+    """The 60-doc bitmap decode, run live (url, page_no, raw,
+    page_stats). Deterministic: must stay byte-identical to
+    ``_EXTRACT_FIXTURE`` (tests/test_extract.py pins this; the driver's
+    oracle hash-compare enforces it independently)."""
     from studiocr_spark.gen import generate_pages
     from studiocr_spark.operators.extract import extract_raw
     from studiocr_spark.session import ship_package
 
     ship_package(spark)
     pages = generate_pages(spark, 60, partitions=4)
-    raw = extract_raw(pages, backend="bitmap").filter(
-        F.col("error").isNull()
+    return (
+        extract_raw(pages, backend="bitmap")
+        .filter(F.col("error").isNull())
+        .select("url", "page_no", "raw", "page_stats")
     )
-    raw.select("url", "page_no", "raw", "page_stats").write.mode(
-        "overwrite"
-    ).parquet(_EXTRACT_DUMP)
-    return spark.read.parquet(_EXTRACT_DUMP)
 
 def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming watermarked windowed rollup over events,
@@ -903,20 +910,21 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def extract_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The OCR extract UDF chain on a generated 60-doc corpus; the block
-    explode + F1 whitespace quirk are oracle-checked over the dump."""
+    explode + F1 whitespace quirk are oracle-checked against the
+    committed fixture (decode drift fails the hash compare)."""
     from studiocr_spark.operators.extract import blocks_from_raw
 
-    return blocks_from_raw(_extract_raw_dumped(spark))
+    return blocks_from_raw(_extract_raw_live(spark))
 
 
 def extract_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed page_stats structs on a generated corpus; the A1-A5
     aggregate semantics (sorted unique texts incl. the kept empty
     string, dense ASCII histogram over RAW texts) are oracle-checked
-    over the dump."""
+    against the committed fixture."""
     from studiocr_spark.operators.stats import page_stats_from_raw
 
-    raw = _extract_raw_dumped(spark)
+    raw = _extract_raw_live(spark)
     # the driver's canonicalizer sorts/hashes cells — array columns are
     # unhashable there, so both arrays are flattened to scalar strings
     return page_stats_from_raw(raw).select(
@@ -1420,14 +1428,15 @@ def oracle_sql() -> dict[str, str]:
                    n_tokens
             FROM cum
         """,
-        # Both extract oracles read the raw-decode dump the entries write
-        # (_EXTRACT_DUMP): the decode UDF is pytest-byte-identical; these
-        # transcribe everything AFTER it. The whitespace class mirrors
-        # Java \s + NEL/NBSP; '' never matches (quirk F1: kept).
+        # Both extract oracles read the COMMITTED raw-decode fixture
+        # (_EXTRACT_FIXTURE) while the Spark entries decode live — the
+        # hash compare therefore also gates decode drift. These SQLs
+        # transcribe everything AFTER the decode. The whitespace class
+        # mirrors Java \s + NEL/NBSP; '' never matches (quirk F1: kept).
         "extract_blocks": rf"""
             WITH src AS (
               SELECT url, page_no, raw
-              FROM read_parquet('{_EXTRACT_DUMP}/*.parquet')
+              FROM read_parquet('{_EXTRACT_FIXTURE}/*.parquet')
             ), ex AS (
               SELECT url, page_no, unnest(raw) AS r FROM src
             )
@@ -1441,7 +1450,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_page_stats": rf"""
             WITH src AS (
               SELECT url, page_no, raw
-              FROM read_parquet('{_EXTRACT_DUMP}/*.parquet')
+              FROM read_parquet('{_EXTRACT_FIXTURE}/*.parquet')
             ), per AS (
               SELECT url, page_no,
                 list_sort(list_distinct(list_transform(

@@ -208,3 +208,33 @@ def test_extract_without_images(spark, pages_df):
         assert frows[k].image is not None
         assert s.page_text == frows[k].page_text
         assert s.page_stats == frows[k].page_stats
+
+
+def test_live_decode_matches_committed_fixture(spark):
+    """The 60-doc raw decode must stay byte-identical to the committed
+    fixture (tests/fixtures/extract_raw_expected) — the driver's extract
+    oracles hash-compare live decode output against SQL over this
+    fixture, so silent decode drift would fail the gate; this test
+    catches it at pytest time with a readable diff surface."""
+    import os
+
+    import __spark_entry__ as entry
+
+    live = entry._extract_raw_live(spark)
+    fixture = spark.read.parquet(entry._EXTRACT_FIXTURE)
+    assert os.path.exists(entry._EXTRACT_FIXTURE)
+    # struct/map columns aren't comparable via exceptAll on MapType —
+    # compare the json-serialized canonical rows
+    from pyspark.sql import functions as F
+
+    def canon(df):
+        return sorted(
+            r.j
+            for r in df.select(
+                F.to_json(
+                    F.struct("url", "page_no", "raw", "page_stats")
+                ).alias("j")
+            ).collect()
+        )
+
+    assert canon(live) == canon(fixture)
