@@ -1,0 +1,74 @@
+"""Column-level textstats variants must agree with the DataFrame-level
+operators the oracle gate checks — with_lang_id/with_quality are the
+join-free composition path (clean_corpus), lang_id/quality_scores the
+standalone oracle-checked entries; any divergence would let the cleaned
+corpus disagree with the audited scores."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from studiocr_spark.operators.textstats import (
+    lang_id,
+    quality_scores,
+    with_lang_id,
+    with_quality,
+)
+
+TEXTS = [
+    (0, "the cat is on the mat and it is flat"),
+    (1, "el perro que se fue no es de la casa"),
+    (2, "der hund ist von der stadt und das ist gut"),
+    (3, "zzz qqq xxx"),                 # no stopwords -> 'und'
+    (4, ""),                            # empty text
+    (5, "  \t  "),                      # whitespace only
+    (6, "123 456 !!! ???"),             # digits + punctuation
+    (7, "the THE The tHe"),             # case folding
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(TEXTS, "doc_id long, text string")
+
+
+def test_with_lang_id_matches_lang_id(docs):
+    standalone = {
+        r.doc_id: (r.pred_lang, r.lang_score)
+        for r in lang_id(docs).collect()
+    }
+    composed = {
+        r.doc_id: (r.pred_lang, r.lang_score)
+        for r in with_lang_id(docs).collect()
+    }
+    assert composed == standalone
+    # and the composed frame keeps every input column
+    assert set(with_lang_id(docs).columns) == {
+        "doc_id", "text", "pred_lang", "lang_score"
+    }
+
+
+def test_with_quality_matches_quality_scores(docs):
+    cols = [
+        "n_words", "mean_word_len", "punct_ratio",
+        "digit_ratio", "stopword_ratio", "quality",
+    ]
+    standalone = {
+        r.doc_id: tuple(r[c] for c in cols)
+        for r in quality_scores(docs).collect()
+    }
+    composed = {
+        r.doc_id: tuple(r[c] for c in cols)
+        for r in with_quality(docs).collect()
+    }
+    assert composed == standalone
+
+
+def test_column_variants_add_no_shuffle(docs):
+    from studiocr_spark.plans.explain import shuffle_exchanges
+
+    df = with_quality(with_lang_id(docs)).filter(
+        (F.col("pred_lang") == "en") & (F.col("quality") >= 0.5)
+    )
+    assert shuffle_exchanges(df) == []
