@@ -17,6 +17,13 @@ build_pyfiles_zip; print(build_pyfiles_zip('studiocr_spark.zip'))"``.
 The job is resumable: re-submitting with the same --output continues from
 the completion manifest (streaming/incremental.py); crashed buckets are
 reprocessed idempotently via dynamic partition overwrite.
+
+With --build-index the postings index is maintained INCREMENTALLY: each
+run writes only the buckets it completed as a new immutable segment
+(operators/index.py segmented store, atomic SEGMENTS publish), so index
+cost is proportional to the delta, not the corpus. Query through
+``read_postings(spark, out + "/postings")``. Run --compact-index
+periodically to merge segments and vacuum the replaced dirs.
 """
 
 from __future__ import annotations
@@ -43,13 +50,26 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--n-buckets", type=int, default=1024,
                     help="checkpoint/lineage buckets (>= 10 x executors)")
     ap.add_argument("--build-index", action="store_true",
-                    help="also build the postings inverted index")
+                    help="also maintain the postings inverted index "
+                         "(incremental: each run indexes only the "
+                         "buckets it completed, as a new segment)")
+    ap.add_argument("--compact-index", action="store_true",
+                    help="merge all postings segments into one and "
+                         "vacuum the old ones")
     ap.add_argument("--term-buckets", type=int, default=256)
     ap.add_argument("--master", default=None,
                     help="override master (default: from spark-submit)")
     args = ap.parse_args(argv)
 
-    from studiocr_spark.operators.index import build_postings, write_postings
+    from pyspark.sql import functions as F
+
+    from studiocr_spark.operators.index import (
+        build_postings,
+        compact_postings,
+        list_segments,
+        vacuum_segments,
+        write_postings_segment,
+    )
     from studiocr_spark.session import get_spark
     from studiocr_spark.streaming.incremental import (
         pending_buckets,
@@ -76,13 +96,46 @@ def main(argv: list[str] | None = None) -> int:
                           "pending_buckets": len(still_pending),
                           "note": "nothing pending; already complete"}))
 
-    if args.build_index and not still_pending:
-        blocks = spark.read.parquet(f"{args.output}/ocr_blocks")
-        write_postings(
-            build_postings(blocks), f"{args.output}/postings",
-            term_buckets=args.term_buckets,
-        )
-        print(json.dumps({"postings": "built"}))
+    index_root = f"{args.output}/postings"
+    if args.build_index:
+        # incremental: index ONLY the buckets this run completed — the
+        # blocks table is partitionBy(bucket), so the filter prunes at
+        # the scan and a 0.1% delta run never re-reads the whole corpus
+        if manifest is not None:
+            new_buckets = [r.bucket for r in manifest.select("bucket").collect()]
+            blocks = spark.read.parquet(f"{args.output}/ocr_blocks").filter(
+                F.col("bucket").isin(new_buckets)
+            )
+            seg = write_postings_segment(
+                build_postings(blocks), index_root,
+                term_buckets=args.term_buckets,
+            )
+            print(json.dumps({
+                "postings": "segment_added", "segment": seg,
+                "buckets_indexed": len(new_buckets),
+                "segments_live": len(list_segments(index_root)),
+            }))
+        elif not list_segments(index_root) and not still_pending:
+            # corpus complete but index never built: one full segment
+            blocks = spark.read.parquet(f"{args.output}/ocr_blocks")
+            seg = write_postings_segment(
+                build_postings(blocks), index_root,
+                term_buckets=args.term_buckets,
+            )
+            print(json.dumps({"postings": "built", "segment": seg}))
+        else:
+            print(json.dumps({
+                "postings": "up_to_date",
+                "segments_live": len(list_segments(index_root)),
+            }))
+    if args.compact_index:
+        seg = compact_postings(spark, index_root,
+                               term_buckets=args.term_buckets)
+        dropped = vacuum_segments(index_root)
+        print(json.dumps({
+            "postings": "compacted", "segment": seg,
+            "segments_vacuumed": dropped,
+        }))
     return 0
 
 

@@ -87,3 +87,116 @@ def write_postings(postings: DataFrame, path: str, term_buckets: int = 64) -> No
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Segmented postings store: incremental index maintenance.
+#
+# A full index rebuild after every incremental extract run re-reads the
+# ENTIRE blocks corpus — at 10^12 documents that converts a 0.1% delta
+# append into a 100% index job. Lucene-style segments fix the shape: each
+# incremental run writes its delta as a new immutable segment dir, an
+# atomically-replaced SEGMENTS manifest lists the live segments, readers
+# union the listed segments, and an explicit compaction merges them back
+# to one. Write-audit-publish: a crash mid-segment-write leaves an
+# unlisted (invisible) dir; a crash before publish loses no committed
+# data; vacuum removes unlisted dirs.
+# ---------------------------------------------------------------------------
+
+SEGMENTS_FILE = "SEGMENTS"
+
+
+def list_segments(root: str) -> list[str]:
+    """Live segment dir names, in publish order ([] when none)."""
+    import os
+
+    path = os.path.join(root, SEGMENTS_FILE)
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+def _publish_segments(root: str, segments: list[str]) -> None:
+    import os
+    import uuid
+
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, f".SEGMENTS.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write("\n".join(segments) + "\n")
+    os.replace(tmp, os.path.join(root, SEGMENTS_FILE))  # atomic commit
+
+
+def write_postings_segment(
+    postings: DataFrame,
+    root: str,
+    term_buckets: int = 64,
+    segment_id: str | None = None,
+) -> str:
+    """Write ``postings`` as a new segment under ``root`` and publish it.
+
+    Same term-clustered layout as :func:`write_postings`, but additive:
+    existing segments are untouched and stay readable throughout.
+    Returns the segment dir name.
+    """
+    import os
+    import uuid
+
+    seg = segment_id or f"seg_{uuid.uuid4().hex[:12]}"
+    write_postings(
+        postings, os.path.join(root, seg), term_buckets=term_buckets
+    )
+    _publish_segments(root, list_segments(root) + [seg])
+    return seg
+
+
+def read_postings(spark, root: str) -> DataFrame:
+    """Union of all live segments (single multi-path parquet scan).
+
+    Falls back to reading ``root`` directly when no SEGMENTS manifest
+    exists — a plain :func:`write_postings` output is then treated as a
+    one-segment store, so pre-segmentation indexes keep working.
+    """
+    import os
+
+    segs = list_segments(root)
+    if not segs:
+        return spark.read.parquet(root)
+    return spark.read.parquet(*[os.path.join(root, s) for s in segs])
+
+
+def compact_postings(spark, root: str, term_buckets: int = 64) -> str:
+    """Merge every live segment into one and publish it as the only
+    segment. Old segment dirs are left on disk for in-flight readers /
+    time travel until :func:`vacuum_segments`. Returns the new name.
+
+    Run this when the segment count makes the multi-path scan's file
+    listing or small-file overhead noticeable (hundreds of segments),
+    or on a schedule — the same economics as Iceberg table compaction.
+    """
+    import os
+    import uuid
+
+    merged = read_postings(spark, root)
+    seg = f"seg_compacted_{uuid.uuid4().hex[:12]}"
+    write_postings(
+        merged, os.path.join(root, seg), term_buckets=term_buckets
+    )
+    _publish_segments(root, [seg])
+    return seg
+
+
+def vacuum_segments(root: str) -> int:
+    """Delete segment dirs not listed in SEGMENTS; returns count."""
+    import os
+    import shutil
+
+    live = set(list_segments(root))
+    dropped = 0
+    for d in os.listdir(root):
+        full = os.path.join(root, d)
+        if d.startswith("seg_") and d not in live and os.path.isdir(full):
+            shutil.rmtree(full)
+            dropped += 1
+    return dropped
