@@ -811,6 +811,21 @@ def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id >= 25) sharing
+    >= 2 distinct word 3-grams with an eval doc (doc_id < 25). The eval
+    shingles broadcast, so the corpus side stays narrow — the 100 TB
+    shape for corpus-vs-benchmark overlap checks."""
+    from studiocr_spark.operators.decontam import contamination_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") >= 25)
+    ev = docs.filter(F.col("doc_id") < 25).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    return contamination_pairs(train, ev, n=3, min_shared=2)
+
+
 def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerpipe-style main-content extraction over templated HTML.
 
@@ -984,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_order_priority": pivot_order_priority,
         "set_ops_customers": set_ops_customers,
         "percentile_prices": percentile_prices,
+        "decontaminate_corpus": decontaminate_corpus,
         "boilerplate_strip": boilerplate_strip,
         "stream_window_counts": stream_window_counts,
         "extract_blocks": extract_blocks,
@@ -1427,6 +1443,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((c - n_tokens) / 300.0) AS INT) AS shard,
                    n_tokens
             FROM cum
+        """,
+        "decontaminate_corpus": r"""
+            WITH ws AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN i + 2 <= len(w)
+                            THEN w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+                          WHEN i + 1 <= len(w)
+                            THEN w[i] || ' ' || w[i + 1]
+                          ELSE w[i] END AS shingle
+              FROM ws, LATERAL (
+                SELECT unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i)
+            ), tr AS (
+              SELECT doc_id, shingle FROM sh WHERE doc_id >= 25
+            ), ev AS (
+              SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id < 25
+            )
+            SELECT tr.doc_id, ev.eval_id,
+                   CAST(count(*) AS BIGINT) AS shared_ngrams
+            FROM tr JOIN ev USING (shingle)
+            GROUP BY tr.doc_id, ev.eval_id
+            HAVING count(*) >= 2
         """,
         # Both extract oracles read the COMMITTED raw-decode fixture
         # (_EXTRACT_FIXTURE) while the Spark entries decode live — the

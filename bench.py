@@ -56,6 +56,7 @@ HEADLINE = [
     "token_counts",
     "doc_fingerprints",
     "sample_stratified",
+    "decontaminate_corpus",
     "pack_shards",
     "clean_corpus",
     "asof_attribution",
