@@ -811,6 +811,14 @@ def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style repetition signals: duplicate word-2-gram mass
+    and most-common-2-gram share per document."""
+    from studiocr_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs (doc_id >= 25) sharing
     >= 2 distinct word 3-grams with an eval doc (doc_id < 25). The eval
@@ -1000,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_customers": set_ops_customers,
         "percentile_prices": percentile_prices,
         "decontaminate_corpus": decontaminate_corpus,
+        "repetition_scores": repetition_scores,
         "boilerplate_strip": boilerplate_strip,
         "stream_window_counts": stream_window_counts,
         "extract_blocks": extract_blocks,
@@ -1443,6 +1452,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((c - n_tokens) / 300.0) AS INT) AS shard,
                    n_tokens
             FROM cum
+        """,
+        "repetition_scores": r"""
+            WITH ws AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     CASE WHEN i + 1 <= len(w)
+                            THEN w[i] || ' ' || w[i + 1]
+                          ELSE w[i] END AS gram
+              FROM ws, LATERAL (
+                SELECT unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i)
+            ), per_gram AS (
+              SELECT doc_id, gram, count(*) AS c FROM g
+              GROUP BY doc_id, gram
+            )
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_ngrams,
+                   CAST(count(*) AS BIGINT) AS n_unique,
+                   floor((1 - count(*) * 1.0 / sum(c)) * 1e6 + 0.5) / 1e6
+                     AS dup_ngram_frac,
+                   floor((max(c) * 1.0 / sum(c)) * 1e6 + 0.5) / 1e6
+                     AS top_gram_frac
+            FROM per_gram GROUP BY doc_id
         """,
         "decontaminate_corpus": r"""
             WITH ws AS (

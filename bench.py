@@ -57,6 +57,7 @@ HEADLINE = [
     "doc_fingerprints",
     "sample_stratified",
     "decontaminate_corpus",
+    "repetition_scores",
     "pack_shards",
     "clean_corpus",
     "asof_attribution",

@@ -133,16 +133,22 @@ def _py_words(t: str) -> list[str]:
     return [w for w in _ASCII_WS.split(t) if w]
 
 
+def _py_ngrams(t: str | None, n: int) -> list[str]:
+    """ALL word n-grams in order (duplicates kept) — the multiset form
+    repetition statistics need; :func:`_py_shingles` is its dedup."""
+    if t is None:
+        return []
+    w = _py_words(t)
+    hi = max(len(w) - (n - 1), 1)
+    return [" ".join(w[i : i + n]) for i in range(hi)]
+
+
 def _py_shingles(t: str | None, n: int) -> list[str]:
     """Distinct word n-gram shingles, Python form (:func:`_py_words`
     tokens, ``dict.fromkeys`` mirrors ``array_distinct``) — verified
     row-identical to the :func:`word_shingles` expression on the
     sf0.1 corpus AND on an ASCII/unicode edge-case corpus (pytest)."""
-    if t is None:
-        return []
-    w = _py_words(t)
-    hi = max(len(w) - (n - 1), 1)
-    return list(dict.fromkeys(" ".join(w[i : i + n]) for i in range(hi)))
+    return list(dict.fromkeys(_py_ngrams(t, n)))
 
 
 def shingle_table(docs: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:

@@ -163,6 +163,60 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """(doc_id, n_ngrams, n_unique, dup_ngram_frac, top_gram_frac):
+    RefinedWeb-style repetition signals over word ``n``-grams (public
+    heuristic family: heavily self-repeating documents are low-quality
+    machine text).
+
+    - ``dup_ngram_frac`` = 1 - unique/total n-grams — mass of repeats.
+    - ``top_gram_frac``  = occurrences of the most common n-gram / total
+      — a single looping phrase shows here even when overall dup mass is
+      moderate.
+
+    One narrow Arrow pass per doc (counts computed in-UDF — no n-gram
+    explode/shuffle); the fractions are single divisions of exact
+    integers, so the DuckDB oracle hash-compares bit-identically.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from .dedup import _py_ngrams
+
+    @pandas_udf("struct<n_ngrams: long, n_unique: long, top_count: long>")
+    def _rep(texts: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        rows = []
+        for t in texts:
+            if t is None:
+                rows.append((None, None, None))
+                continue
+            c = Counter(_py_ngrams(t, n))
+            total = sum(c.values())
+            rows.append(
+                (total, len(c), max(c.values()) if c else 0)
+            )
+        return pd.DataFrame(
+            rows, columns=["n_ngrams", "n_unique", "top_count"]
+        )
+
+    staged = docs.select("doc_id", _rep(F.col(text_col)).alias("r"))
+    total = F.col("r.n_ngrams")
+    return staged.select(
+        "doc_id",
+        total.alias("n_ngrams"),
+        F.col("r.n_unique").alias("n_unique"),
+        round6(
+            1 - F.col("r.n_unique") / F.greatest(total, F.lit(1))
+        ).alias("dup_ngram_frac"),
+        round6(
+            F.col("r.top_count") / F.greatest(total, F.lit(1))
+        ).alias("top_gram_frac"),
+    )
+
+
 def char_ngrams(text_col: Column, n: int = 5) -> Column:
     """All character n-grams of a text as an array (rolling window)."""
     return F.transform(

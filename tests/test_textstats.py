@@ -65,6 +65,30 @@ def test_with_quality_matches_quality_scores(docs):
     assert composed == standalone
 
 
+def test_repetition_stats_semantics(spark):
+    from studiocr_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),          # grams: ab ba ab ba ab -> 5 total, 2 unique
+            (1, "all words differ here"),  # 3 unique of 3
+            (2, "loop loop loop loop"),  # "loop loop" x3 -> top frac 1.0
+            (3, ""),                      # one '' gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs, n=2).collect()}
+    assert (got[0].n_ngrams, got[0].n_unique) == (5, 2)
+    assert got[0].dup_ngram_frac == 0.6
+    assert got[1].dup_ngram_frac == 0.0
+    assert got[2].top_gram_frac == 1.0 and got[2].n_unique == 1
+    assert (got[3].n_ngrams, got[3].n_unique) == (1, 1)
+    # narrow: one Arrow pass, zero shuffles
+    from studiocr_spark.plans.explain import shuffle_exchanges
+
+    assert shuffle_exchanges(repetition_stats(docs)) == []
+
+
 def test_column_variants_add_no_shuffle(docs):
     from studiocr_spark.plans.explain import shuffle_exchanges
 
