@@ -811,6 +811,36 @@ def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus with deterministic planted PII (the
+    base texts are synthetic words, so emails/IPs/phones are appended
+    per doc_id — same trick as boilerplate_strip's templated HTML); the
+    oracle replicates the planting and the redaction byte-for-byte."""
+    from studiocr_spark.operators.redact import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            did.cast("string"),
+            F.lit("@example.com at 10.0."),
+            (did % 200).cast("string"),
+            F.lit("."),
+            ((did * 7) % 250).cast("string"),
+            F.lit(" or 555-"),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return redact_pii(planted).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "redacted_text"
+    )
+
+
 def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb-style repetition signals: duplicate word-2-gram mass
     and most-common-2-gram share per document."""
@@ -1009,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_prices": percentile_prices,
         "decontaminate_corpus": decontaminate_corpus,
         "repetition_scores": repetition_scores,
+        "pii_redaction": pii_redaction,
         "boilerplate_strip": boilerplate_strip,
         "stream_window_counts": stream_window_counts,
         "extract_blocks": extract_blocks,
@@ -1452,6 +1483,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((c - n_tokens) / 300.0) AS INT) AS shard,
                    n_tokens
             FROM cum
+        """,
+        "pii_redaction": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text || ' contact u' || CAST(doc_id AS VARCHAR)
+                       || '@example.com at 10.0.'
+                       || CAST(doc_id % 200 AS VARCHAR) || '.'
+                       || CAST((doc_id * 7) % 250 AS VARCHAR)
+                       || ' or 555-'
+                       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       || '-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                     '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT)
+                     AS n_ipv4,
+                   CAST(len(regexp_extract_all(text,
+                     '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT)
+                     AS n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<email>', 'g'),
+                     '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<ipv4>', 'g'),
+                     '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<phone>', 'g')
+                     AS redacted_text
+            FROM planted
         """,
         "repetition_scores": r"""
             WITH ws AS (

@@ -58,6 +58,7 @@ HEADLINE = [
     "sample_stratified",
     "decontaminate_corpus",
     "repetition_scores",
+    "pii_redaction",
     "pack_shards",
     "clean_corpus",
     "asof_attribution",

@@ -96,3 +96,38 @@ def test_column_variants_add_no_shuffle(docs):
         (F.col("pred_lang") == "en") & (F.col("quality") >= 0.5)
     )
     assert shuffle_exchanges(df) == []
+
+
+def test_redact_pii_patterns(spark):
+    from studiocr_spark.operators.redact import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail bob.smith+x@corp.example.org now"),
+            (1, "server at 192.168.001.42 responded"),
+            (2, "call 555-123-4567 or 555.987.6543 today"),
+            (3, "overlap a@b.io 10.0.0.1 555-000-1111"),
+            (4, "clean text with no pii at all"),
+            # NOT pii: version number, bare at-sign, short number
+            (5, "v1.2.3 @ 12-34 release"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert got[0].n_email == 1 and "<email>" in got[0].redacted_text
+    assert "bob" not in got[0].redacted_text
+    assert got[1].n_ipv4 == 1 and "<ipv4>" in got[1].redacted_text
+    assert got[2].n_phone == 2
+    assert got[2].redacted_text == "call <phone> or <phone> today"
+    assert (got[3].n_email, got[3].n_ipv4, got[3].n_phone) == (1, 1, 1)
+    assert got[4].redacted_text == got[4].text
+    assert (got[4].n_email, got[4].n_ipv4, got[4].n_phone) == (0, 0, 0)
+    assert got[5].redacted_text == got[5].text
+
+
+def test_redact_pii_is_narrow(spark):
+    from studiocr_spark.operators.redact import redact_pii
+    from studiocr_spark.plans.explain import shuffle_exchanges
+
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    assert shuffle_exchanges(redact_pii(docs)) == []
