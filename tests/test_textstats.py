@@ -131,3 +131,35 @@ def test_redact_pii_is_narrow(spark):
 
     docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     assert shuffle_exchanges(redact_pii(docs)) == []
+
+
+def test_redact_matches_python_re_on_fuzz(spark):
+    """Independent-engine cross-check: Java regex (Spark) vs Python re
+    on 300 seeded random ASCII strings over a PII-adjacent alphabet —
+    catches dialect drift (quantifiers, \\b, classes) that the planted
+    oracle strings would miss."""
+    import random
+    import re as pyre
+
+    from studiocr_spark.operators.redact import PII_PATTERNS, redact_pii
+
+    rng = random.Random(42)
+    alphabet = "ab@. -0123456789xyz<>%+_"
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 80)))
+        for _ in range(300)
+    ]
+    texts.append("hit a.b@c.de plus 1.2.3.4 and 123-456-7890")
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in redact_pii(docs).collect()}
+    for i, t in enumerate(texts):
+        for kind, pat in PII_PATTERNS.items():
+            assert got[i][f"n_{kind}"] == len(pyre.findall(pat, t)), (
+                kind, t
+            )
+        expect = t
+        for kind, pat in PII_PATTERNS.items():
+            expect = pyre.sub(pat, f"<{kind}>", expect)
+        assert got[i].redacted_text == expect, t
