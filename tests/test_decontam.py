@@ -61,3 +61,45 @@ def test_eval_side_broadcasts_corpus_stays_narrow(spark):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert len(shuffle_exchanges(df)) == 1, plan
+
+
+def test_large_eval_side_falls_back_to_shuffle_join(spark):
+    """Round-4 guard: past max_broadcast_eval_docs the eval side takes a
+    plain shuffle join (no broadcast hint in the optimized plan) and the
+    results are identical to the broadcast path."""
+    from studiocr_spark.plans.explain import formatted_plan
+
+    train, ev = _frames(spark)
+    df = contamination_pairs(
+        train, ev, n=3, min_shared=2, max_broadcast_eval_docs=0
+    )
+    # the hint must be ABSENT from the optimized logical plan (Catalyst
+    # may still cost-pick a broadcast at this toy scale — that's fine)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in opt, opt
+    got = {r.doc_id: r.shared_ngrams for r in df.collect()}
+    assert got == {100: 8}
+    # forced-True override keeps the original single-shuffle shape
+    forced = contamination_pairs(
+        train, ev, n=3, min_shared=2, broadcast_eval=True
+    )
+    assert "BroadcastHashJoin" in formatted_plan(forced)
+
+
+def test_contamination_pairs_custom_id_cols(spark):
+    """Round-4 ADVICE fix: non-default id_col/eval_id_col must resolve
+    (previously shingle_table hard-coded doc_id and groupBy(id_col)
+    threw an unresolved-column error)."""
+    train, ev = _frames(spark)
+    got = {
+        (r.url, r.bench_id): r.shared_ngrams
+        for r in contamination_pairs(
+            train.withColumnRenamed("doc_id", "url"),
+            ev.withColumnRenamed("eval_id", "bench_id"),
+            n=3,
+            min_shared=2,
+            id_col="url",
+            eval_id_col="bench_id",
+        ).collect()
+    }
+    assert got == {(100, 1): 8}

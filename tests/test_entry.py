@@ -31,13 +31,10 @@ def test_query_and_oracle_keys_align():
     assert set(oracles) <= set(qs)
     # every callable is actually callable
     assert all(callable(f) for f in qs.values())
-    # the non-oracled set is exactly the documented non-SQL-expressible
-    # ops: the three ANN recall audits (recall is algorithm-defined)
-    assert set(qs) - set(oracles) == {
-        "ann_lsh_topk",
-        "ann_ivf_topk",
-        "embedding_near_dups",
-    }
+    # round-4: the last rows-only entries (the ANN recall audits) were
+    # oracle-ified via the dump technique — EVERY entry now has a
+    # DuckDB oracle
+    assert set(qs) == set(oracles)
 
 
 @pytest.mark.parametrize(

@@ -67,7 +67,11 @@ def test_incremental_segments_equal_full_rebuild(spark, extracted, tmp_path):
     compact_postings(spark, root, term_buckets=4)
     assert len(list_segments(root)) == 1
     assert _canon(read_postings(spark, root)) == expected
-    assert vacuum_segments(root) == 2
+    # age-gated vacuum (round-4): fresh replaced dirs survive the
+    # default grace window for in-flight readers, then a zero-age
+    # vacuum (test/teardown mode) removes them
+    assert vacuum_segments(root) == 0
+    assert vacuum_segments(root, min_age_seconds=0) == 2
     assert _canon(read_postings(spark, root)) == expected
 
 
@@ -92,5 +96,104 @@ def test_unpublished_segment_is_invisible(spark, extracted, tmp_path):
     # simulate a crashed writer: data written, publish never happened
     write_postings(p.limit(5), f"{root}/seg_orphan", term_buckets=2)
     assert read_postings(spark, root).count() == 10
-    assert vacuum_segments(root) == 1
+    assert vacuum_segments(root, min_age_seconds=0) == 1
     assert read_postings(spark, root).count() == 10
+
+
+def test_segment_coverage_and_writer_lock(spark, extracted, tmp_path):
+    """Round-4: segments record their extract-bucket coverage; the
+    SEGMENTS read-modify-write is single-writer via a lock file."""
+    import pytest
+
+    from studiocr_spark.operators.index import (
+        segment_coverage,
+        segments_writer_lock,
+    )
+
+    _, _, ocr_blocks = extracted
+    p = build_postings(ocr_blocks)
+
+    root = str(tmp_path / "cov")
+    write_postings_segment(p.limit(5), root, term_buckets=2, buckets=[0, 1])
+    write_postings_segment(p.limit(5), root, term_buckets=2, buckets=[2])
+    assert segment_coverage(root) == {0, 1, 2}
+    # compaction merges explicit coverage (lock held across RMW)
+    compact_postings(spark, root, term_buckets=2)
+    assert len(list_segments(root)) == 1
+    assert segment_coverage(root) == {0, 1, 2}
+    # an ALL segment (full build) makes total coverage
+    # unknown-but-complete
+    write_postings_segment(p.limit(5), root, term_buckets=2)  # default ALL
+    assert segment_coverage(root) is None
+    compact_postings(spark, root, term_buckets=2)
+    assert segment_coverage(root) is None  # ALL propagates
+
+    # a held lock makes a concurrent publisher fail fast, not lose data
+    root2 = str(tmp_path / "lock")
+    with segments_writer_lock(root2):
+        with pytest.raises(RuntimeError, match="writer lock"):
+            write_postings_segment(
+                p.limit(3), root2, term_buckets=2, buckets=[9]
+            )
+    # lock released -> publish works again
+    write_postings_segment(p.limit(3), root2, term_buckets=2, buckets=[9])
+    assert segment_coverage(root2) == {9}
+
+
+def test_build_index_reconciles_coverage_gaps(spark, tmp_path):
+    """Round-4 ADVICE (medium) fix end-to-end: --build-index indexes
+    every manifest-complete bucket NOT covered by a live segment — the
+    pre-fix code printed 'up_to_date' whenever a segment existed and
+    nothing was newly completed, leaving a permanent index gap for
+    buckets completed by runs without --build-index (or by a run that
+    crashed between manifest append and segment publish)."""
+    import importlib.util
+    import os
+
+    from studiocr_spark.gen import write_pages
+    from studiocr_spark.operators.index import segment_coverage
+    from studiocr_spark.streaming.incremental import read_manifest
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "extract_submit_test", os.path.join(repo, "jobs", "extract_submit.py")
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    inp = str(tmp_path / "pages")
+    out = str(tmp_path / "ocr")
+    write_pages(spark, 30, inp, partitions=2)
+    # run 1: corpus completes WITHOUT --build-index
+    assert job.main([
+        "--input", inp, "--output", out, "--backend", "bitmap",
+        "--n-buckets", "4", "--master", "local[4]",
+    ]) == 0
+    # a partial segment exists (e.g. an earlier indexer die mid-corpus):
+    # covers bucket 0 only
+    blocks = spark.read.parquet(f"{out}/ocr_blocks")
+    write_postings_segment(
+        build_postings(blocks.filter(F.col("bucket") == 0)),
+        f"{out}/postings", term_buckets=2, buckets=[0],
+    )
+    # run 2 with --build-index: nothing newly completed, but coverage
+    # reconciliation must index the remaining buckets
+    assert job.main([
+        "--input", inp, "--output", out, "--backend", "bitmap",
+        "--n-buckets", "4", "--build-index", "--term-buckets", "2",
+        "--master", "local[4]",
+    ]) == 0
+    completed = {
+        r.bucket
+        for r in read_manifest(spark, out).select("bucket").distinct().collect()
+    }
+    assert segment_coverage(f"{out}/postings") == completed
+    got = _canon(read_postings(spark, f"{out}/postings"))
+    assert got == _canon(build_postings(blocks))
+    # idempotent: a third run adds nothing
+    assert job.main([
+        "--input", inp, "--output", out, "--backend", "bitmap",
+        "--n-buckets", "4", "--build-index", "--term-buckets", "2",
+        "--master", "local[4]",
+    ]) == 0
+    assert len(list_segments(f"{out}/postings")) == 2

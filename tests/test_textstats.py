@@ -110,6 +110,11 @@ def test_redact_pii_patterns(spark):
             (4, "clean text with no pii at all"),
             # NOT pii: version number, bare at-sign, short number
             (5, "v1.2.3 @ 12-34 release"),
+            # widened NANP forms (round-4): parens / +1 / spaces
+            (6, "call (555) 123-4567 or +1 555 123 4567 now"),
+            (7, "also (555)123.4567 and +1-555-123-4567 work"),
+            # 2-digit area code / truncated groups stay unredacted
+            (8, "not (55) 123-4567 nor 555 12 4567"),
         ],
         "doc_id long, text string",
     )
@@ -123,6 +128,12 @@ def test_redact_pii_patterns(spark):
     assert got[4].redacted_text == got[4].text
     assert (got[4].n_email, got[4].n_ipv4, got[4].n_phone) == (0, 0, 0)
     assert got[5].redacted_text == got[5].text
+    assert got[6].n_phone == 2
+    assert got[6].redacted_text == "call <phone> or <phone> now"
+    assert got[7].n_phone == 2
+    assert got[7].redacted_text == "also <phone> and <phone> work"
+    assert got[8].n_phone == 0
+    assert got[8].redacted_text == got[8].text
 
 
 def test_redact_pii_is_narrow(spark):
@@ -144,12 +155,15 @@ def test_redact_matches_python_re_on_fuzz(spark):
     from studiocr_spark.operators.redact import PII_PATTERNS, redact_pii
 
     rng = random.Random(42)
-    alphabet = "ab@. -0123456789xyz<>%+_"
+    alphabet = "ab@. -0123456789xyz<>%+_()"
     texts = [
         "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 80)))
         for _ in range(300)
     ]
     texts.append("hit a.b@c.de plus 1.2.3.4 and 123-456-7890")
+    texts.append("call (555) 123-4567 or (555)123.4567 today")
+    texts.append("+1 555 123 4567 and +1-555-123-4567 and 555 123 4567")
+    texts.append("not a phone: 55 123 4567, 555 12 4567, (55) 123-4567")
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
@@ -163,3 +177,38 @@ def test_redact_matches_python_re_on_fuzz(spark):
         for kind, pat in PII_PATTERNS.items():
             expect = pyre.sub(pat, f"<{kind}>", expect)
         assert got[i].redacted_text == expect, t
+
+
+def test_repetition_null_text_agrees_with_oracle(spark):
+    """Round-4 ADVICE fix: a null-text doc must produce the SAME row in
+    the Spark operator and the DuckDB oracle (a null-stats row, not a
+    dropped doc) — checked cross-engine on a tiny corpus with a null."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from studiocr_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, None), (2, "x")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_ngrams, r.n_unique, r.dup_ngram_frac, r.top_gram_frac)
+        for r in repetition_stats(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(0, 'a b a b'), (1, NULL), (2, 'x')) t(doc_id, text)"
+    )
+    duck = {
+        int(r[0]): (
+            None if r[1] is None else int(r[1]),
+            None if r[2] is None else int(r[2]),
+            r[3],
+            r[4],
+        )
+        for r in con.execute(
+            entry.oracle_sql()["repetition_scores"]
+        ).fetchall()
+    }
+    assert got == duck, (got, duck)
