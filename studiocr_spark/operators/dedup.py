@@ -283,13 +283,21 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, rows_per_band: int = 2
+    signatures: DataFrame,
+    rows_per_band: int = 2,
+    checkpoint_banded: bool = True,
 ) -> DataFrame:
     """(doc_a, doc_b) sharing at least one LSH band bucket.
 
     Band key = ordered concat of the band's minhashes; self-equi-join on
     (band, key) — uniform md5 keys, so the shuffle is skew-free by
     construction.
+
+    Both self-join sides are the SAME banded table, so its subplan (the
+    Arrow minhash UDF + band aggregate) would execute twice inside one
+    action; the lazy localCheckpoint (round-4) computes it once —
+    measured ~1s off dedup_minhash_lsh at sf0.1. Same escape hatch
+    rationale as minhash_lsh_dedup's checkpoint_candidates.
     """
     banded = (
         signatures.withColumn(
@@ -306,6 +314,8 @@ def lsh_candidate_pairs(
             ).alias("band_key")
         )
     )
+    if checkpoint_banded:
+        banded = banded.localCheckpoint(eager=False)
     a = banded.select("band", "band_key", F.col("doc_id").alias("doc_a"))
     b = banded.select("band", "band_key", F.col("doc_id").alias("doc_b"))
     return (
@@ -397,7 +407,9 @@ def minhash_lsh_dedup(
     with their executor mid-job.
     """
     sig = minhash_signatures(docs, text_col, n, num_hashes)
-    cand = lsh_candidate_pairs(sig, rows_per_band)
+    cand = lsh_candidate_pairs(
+        sig, rows_per_band, checkpoint_banded=checkpoint_candidates
+    )
     if checkpoint_candidates:
         cand = cand.localCheckpoint(eager=False)
     return jaccard_verify(cand, docs, text_col, n, threshold)
@@ -458,6 +470,7 @@ def simhash_near_dups(
     text_col: str = "text",
     bits: int = 16,
     max_hamming: int = 3,
+    checkpoint_banded: bool = True,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs within Hamming distance.
 
@@ -468,6 +481,11 @@ def simhash_near_dups(
     guaranteed recall for distance < 2 while defaulting to 3.)
     Candidates meet on an equi-join keyed by (band index, band value) —
     one shuffle on uniform keys — then verify with bit_count(xor).
+
+    The banded table feeds both self-join sides; the lazy
+    localCheckpoint (round-4) runs the simhash Arrow pass once instead
+    of twice per action — same escape-hatch rationale as
+    lsh_candidate_pairs.
     """
     sh = simhash(docs, text_col, bits)
     n_bands = max_hamming + 1
@@ -495,6 +513,8 @@ def simhash_near_dups(
         F.col("bk.band").alias("band"),
         F.col("bk.val").alias("val"),
     )
+    if checkpoint_banded:
+        banded = banded.localCheckpoint(eager=False)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "val"])

@@ -1,18 +1,24 @@
 """Multimodal (image/audio/video) column operators.
 
 Binary payloads are opaque ``binary`` columns with typed metadata structs;
-all processing runs in Arrow-batched ``mapInPandas`` UDFs. The container
-lacks image/audio codecs (no PIL/cv2/ffmpeg), so:
+all processing runs in Arrow-batched ``mapInPandas`` UDFs.
 
 - REAL and tested: header metadata extraction (PNG IHDR / JPEG SOF / MPDF
   page count — pure struct parsing), deterministic content fingerprints,
-  frame sampling over multi-page (video-like) containers, and the full
-  Spark plumbing (schemas, batch shapes, partitioning).
-- STUBBED: pixel decode / resize / spectrogram — gated behind import-try
-  with a deterministic-fake fallback ONLY when explicitly requested
-  (``allow_fake=True``), else ``NotImplementedError`` with a clear
-  message. The UDF signatures and output schemas are the production
-  contract.
+  frame sampling over multi-page (video-like) containers, pixel decode /
+  intensity-histogram features / nearest-neighbor resize (round-4), and
+  the full Spark plumbing (schemas, batch shapes, partitioning).
+- Pixel codec is TIERED (:func:`pixel_codec`, mirroring the
+  bitmap/tesseract backend gating in sources/decode.py): cv2 -> PIL ->
+  the repo's native PNG codec. cv2/PIL are import-gated (absent in this
+  container; the branches bind wherever the libs exist and are covered
+  by importorskip tests); the native tier handles the sandbox's 8-bit
+  grayscale PNG / MPDF payloads with zero deps, so the real pixel path
+  executes and is pixel-tested HERE, not just stubbed.
+- STILL STUBBED: the vision-model embedding (``codec=None`` in
+  :func:`extract_features`) — gated behind ``NotImplementedError`` with
+  a deterministic md5-fake escape hatch (``allow_fake=True``). The UDF
+  signatures and output schemas are the production contract.
 """
 
 from __future__ import annotations
@@ -137,6 +143,81 @@ def sample_frames(
     return df.select(url_col, bin_col).mapInPandas(run, FRAME_SCHEMA)
 
 
+def pixel_codec(codec: str = "auto"):
+    """(name, decode, encode) pixel codec tier — cv2 -> PIL -> native.
+
+    ``decode(bytes) -> HxW uint8 grayscale ndarray`` (first frame for
+    MPDF containers) and ``encode(ndarray) -> PNG bytes``. Tiers mirror
+    the tesseract gating pattern in sources/decode.py: the cv2 and PIL
+    branches are import-gated real implementations (covered by
+    importorskip tests wherever the libs exist); the zero-dep native
+    tier handles the 8-bit grayscale PNG variant this repo's corpora
+    use (functions/png), so the pixel path executes in this sandbox.
+    Raises NotImplementedError for an explicitly requested absent tier.
+    """
+    if codec in ("auto", "cv2"):
+        try:
+            import cv2
+
+            def _dec_cv2(b: bytes) -> np.ndarray | None:
+                arr = cv2.imdecode(
+                    np.frombuffer(b, np.uint8), cv2.IMREAD_GRAYSCALE
+                )
+                return arr  # None on undecodable input
+
+            def _enc_cv2(img: np.ndarray) -> bytes:
+                ok, buf = cv2.imencode(".png", img)
+                if not ok:
+                    raise ValueError("cv2 PNG encode failed")
+                return bytes(buf)
+
+            return "cv2", _dec_cv2, _enc_cv2
+        except ImportError:
+            if codec == "cv2":
+                raise NotImplementedError(
+                    "codec='cv2' requested but cv2 is not installed"
+                )
+    if codec in ("auto", "pil"):
+        try:
+            import io
+
+            from PIL import Image
+
+            def _dec_pil(b: bytes) -> np.ndarray | None:
+                try:
+                    with Image.open(io.BytesIO(b)) as im:
+                        return np.asarray(im.convert("L"), dtype=np.uint8)
+                except Exception:
+                    return None
+
+            def _enc_pil(img: np.ndarray) -> bytes:
+                out = io.BytesIO()
+                Image.fromarray(img, mode="L").save(out, format="PNG")
+                return out.getvalue()
+
+            return "pil", _dec_pil, _enc_pil
+        except ImportError:
+            if codec == "pil":
+                raise NotImplementedError(
+                    "codec='pil' requested but PIL is not installed"
+                )
+    if codec in ("auto", "native"):
+        from ..functions.png import decode_png, encode_png
+
+        def _dec_native(b: bytes) -> np.ndarray | None:
+            try:
+                return decode_png(b)
+            except Exception:
+                return None  # non-PNG or unsupported variant
+
+        return "native", _dec_native, encode_png
+    raise NotImplementedError(f"unknown pixel codec {codec!r}")
+
+
+def _first_frame(b: bytes) -> bytes:
+    return unpack_mpdf(b)[0] if b[:4] == MPDF_MAGIC else b
+
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
@@ -149,28 +230,33 @@ def extract_features(
     df: DataFrame,
     dim: int = 8,
     allow_fake: bool = False,
+    codec: str | None = "auto",
     url_col: str = "url",
     bin_col: str = "html",
 ) -> DataFrame:
     """Image feature extraction (embedding per payload).
 
-    Production path decodes pixels and runs a vision model — both absent
-    here, so without ``allow_fake`` this raises NotImplementedError at
-    plan time. With ``allow_fake=True`` it emits a deterministic
-    md5-derived pseudo-embedding: the Spark plumbing (Arrow batches,
-    schema, partitioning) is the real, tested artifact.
-    """
-    try:
-        import cv2  # noqa: F401
+    With a pixel ``codec`` (default tiered cv2 -> PIL -> native): a REAL
+    classical feature — the L1-normalized ``dim``-bin intensity
+    histogram of the decoded first frame; undecodable payloads emit a
+    null feature (quarantine-style, like media_metadata).
 
-        have_decoder = True
-    except ImportError:
-        have_decoder = False
-    if not have_decoder and not allow_fake:
-        raise NotImplementedError(
-            "pixel decode requires cv2/PIL (absent in this container); "
-            "pass allow_fake=True for the deterministic stub"
-        )
+    ``codec=None`` models the production vision-model path, which is
+    absent here: it raises NotImplementedError at plan time unless
+    ``allow_fake=True``, which emits the deterministic md5-derived
+    pseudo-embedding (the Spark plumbing is the tested artifact).
+    """
+    if codec is None:
+        if not allow_fake:
+            raise NotImplementedError(
+                "codec=None is the vision-model embedding path (model "
+                "absent in this container); pass allow_fake=True for "
+                "the deterministic stub or a pixel codec for histogram "
+                "features"
+            )
+        decode = None
+    else:
+        _, decode, _ = pixel_codec(codec)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -179,24 +265,76 @@ def extract_features(
                 if data is None:
                     rows.append({"url": url, "feature": None})
                     continue
-                digest = hashlib.md5(bytes(data)).digest()
-                vec = (
-                    np.frombuffer((digest * ((4 * dim) // 16 + 1))[: 4 * dim],
-                                  dtype=np.uint32)
-                    .astype(np.float32)
-                )
-                vec = vec / np.float32(2**32)
+                b = bytes(data)
+                if decode is None:
+                    digest = hashlib.md5(b).digest()
+                    vec = (
+                        np.frombuffer(
+                            (digest * ((4 * dim) // 16 + 1))[: 4 * dim],
+                            dtype=np.uint32,
+                        ).astype(np.float32)
+                    )
+                    vec = vec / np.float32(2**32)
+                    rows.append({"url": url, "feature": vec.tolist()})
+                    continue
+                img = decode(_first_frame(b))
+                if img is None:
+                    rows.append({"url": url, "feature": None})
+                    continue
+                hist = np.bincount(
+                    ((img.astype(np.int64) * dim) // 256).ravel(),
+                    minlength=dim,
+                ).astype(np.float64)
+                vec = (hist / max(img.size, 1)).astype(np.float32)
                 rows.append({"url": url, "feature": vec.tolist()})
             yield pd.DataFrame(rows, columns=FEATURE_SCHEMA.fieldNames())
 
     return df.select(url_col, bin_col).mapInPandas(run, FEATURE_SCHEMA)
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize — pixel codecs absent in this container; the
-    production body is ``cv2.resize`` inside the same mapInPandas shape
-    as :func:`extract_features`."""
-    raise NotImplementedError(
-        "resize requires an image codec (cv2/PIL), not present in this "
-        "container; plumbing contract is FRAME_SCHEMA -> FRAME_SCHEMA"
-    )
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    codec: str = "auto",
+    url_col: str = "url",
+    bin_col: str = "html",
+) -> DataFrame:
+    """Nearest-neighbor image resize, FRAME_SCHEMA output (round-4: a
+    real gated implementation, not a stub).
+
+    Each payload's frames (MPDF containers explode like
+    :func:`sample_frames`) are decoded with the tiered
+    :func:`pixel_codec`, index-sampled to ``height x width`` (the same
+    nearest-neighbor math cv2.INTER_NEAREST computes), and re-encoded
+    as PNG with the same codec. Undecodable frames emit a null frame.
+    """
+    _, decode, encode = pixel_codec(codec)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, data in zip(pdf[url_col], pdf[bin_col]):
+                if data is None:
+                    continue
+                b = bytes(data)
+                frames = unpack_mpdf(b) if b[:4] == MPDF_MAGIC else [b]
+                for i, fr in enumerate(frames):
+                    img = decode(fr)
+                    if img is None:
+                        rows.append(
+                            {"url": url, "frame_no": i, "frame": None}
+                        )
+                        continue
+                    h, w = img.shape[:2]
+                    ys = np.minimum(
+                        (np.arange(height) * h) // height, h - 1
+                    )
+                    xs = np.minimum((np.arange(width) * w) // width, w - 1)
+                    out = img[np.ix_(ys, xs)].astype(np.uint8)
+                    rows.append(
+                        {"url": url, "frame_no": i, "frame": encode(out)}
+                    )
+            yield pd.DataFrame(rows, columns=FRAME_SCHEMA.fieldNames())
+
+    return df.select(url_col, bin_col).mapInPandas(run, FRAME_SCHEMA)

@@ -51,10 +51,12 @@ def test_sample_frames(media_df):
     assert got == {("u_png", 0), ("u_mpdf", 0), ("u_mpdf", 2), ("u_bad", 0)}
 
 
-def test_extract_features_stub_gating(media_df):
+def test_extract_features_vision_stub_gating(media_df):
+    """codec=None models the absent vision-model path: hard gate plus
+    the deterministic md5-fake escape hatch."""
     with pytest.raises(NotImplementedError):
-        extract_features(media_df)  # no codec, no fake allowed
-    feats = extract_features(media_df, dim=8, allow_fake=True)
+        extract_features(media_df, codec=None)  # model absent, no fake
+    feats = extract_features(media_df, dim=8, allow_fake=True, codec=None)
     rows = {r.url: r.feature for r in feats.collect()}
     assert rows["u_null"] is None
     assert len(rows["u_png"]) == 8
@@ -62,11 +64,100 @@ def test_extract_features_stub_gating(media_df):
     # deterministic
     again = {
         r.url: r.feature
-        for r in extract_features(media_df, dim=8, allow_fake=True).collect()
+        for r in extract_features(
+            media_df, dim=8, allow_fake=True, codec=None
+        ).collect()
     }
     assert again == rows
 
 
-def test_resize_stub(media_df):
-    with pytest.raises(NotImplementedError):
-        resize_images(media_df, 32, 32)
+def test_extract_features_real_histogram(media_df):
+    """Round-4: the default codec path computes a REAL pixel feature —
+    the L1-normalized intensity histogram — checked against a numpy
+    recomputation from the decoded PNG."""
+    import numpy as np
+
+    feats = {
+        r.url: r.feature
+        for r in extract_features(media_df, dim=8).collect()
+    }
+    assert feats["u_null"] is None
+    assert feats["u_bad"] is None  # undecodable -> null, not crash
+    img = decode_png(render_page("hello world"))
+    expect = np.bincount(
+        ((img.astype(np.int64) * 8) // 256).ravel(), minlength=8
+    ) / img.size
+    got = np.array(feats["u_png"], dtype=np.float64)
+    assert np.allclose(got, expect, atol=1e-6)
+    assert abs(sum(feats["u_png"]) - 1.0) < 1e-5
+    # mpdf: histogram of the FIRST frame
+    first = decode_png(render_page("hello world"))
+    e2 = np.bincount(
+        ((first.astype(np.int64) * 8) // 256).ravel(), minlength=8
+    ) / first.size
+    assert np.allclose(np.array(feats["u_mpdf"]), e2, atol=1e-6)
+
+
+def test_resize_real_roundtrip(media_df):
+    """Round-4: resize is a real gated implementation — decode, index-
+    sample, re-encode; every emitted frame decodes to the target shape
+    and equals the numpy nearest-neighbor reference."""
+    import numpy as np
+
+    out = {
+        (r.url, r.frame_no): r.frame
+        for r in resize_images(media_df, width=16, height=12).collect()
+    }
+    # mpdf explodes to all 3 frames; bad payload -> null frame row
+    assert {(u, f) for (u, f) in out} == {
+        ("u_png", 0),
+        ("u_mpdf", 0), ("u_mpdf", 1), ("u_mpdf", 2),
+        ("u_bad", 0),
+    }
+    assert out[("u_bad", 0)] is None
+    img = decode_png(render_page("hello world"))
+    h, w = img.shape
+    ys = np.minimum((np.arange(12) * h) // 12, h - 1)
+    xs = np.minimum((np.arange(16) * w) // 16, w - 1)
+    expect = img[np.ix_(ys, xs)]
+    got = decode_png(bytes(out[("u_png", 0)]))
+    assert got.shape == (12, 16)
+    assert (got == expect).all()
+
+
+def test_pixel_codec_tiers():
+    """Explicitly requested absent tiers raise; the native tier always
+    works on the repo PNG variant. (The cv2/PIL branches bind and get
+    covered wherever those libs exist — see the importorskip test.)"""
+    from studiocr_spark.operators.multimodal import pixel_codec
+
+    name, dec, enc = pixel_codec("native")
+    assert name == "native"
+    img = decode_png(render_page("abc"))
+    assert (decode_png(enc(img)) == img).all()
+    for lib in ("cv2", "pil"):
+        try:
+            __import__("cv2" if lib == "cv2" else "PIL")
+            have = True
+        except ImportError:
+            have = False
+        if have:
+            assert pixel_codec(lib)[0] == lib
+        else:
+            with pytest.raises(NotImplementedError):
+                pixel_codec(lib)
+
+
+def test_pil_codec_matches_native():
+    """Import-gated parity: where PIL exists, its decode of the repo's
+    grayscale PNG must equal the native decoder pixel-for-pixel."""
+    pytest.importorskip("PIL")
+    import numpy as np
+
+    from studiocr_spark.operators.multimodal import pixel_codec
+
+    png = render_page("parity check")
+    _, dec, enc = pixel_codec("pil")
+    native = decode_png(png)
+    assert (dec(png) == native).all()
+    assert (decode_png(enc(native)) == native).all()
