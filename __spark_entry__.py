@@ -905,6 +905,63 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher corpus-filtering rules (MassiveText heuristics) as one
+    narrow projection; every ratio an exact-integer division."""
+    from studiocr_spark.operators.textstats import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style line-level exact dedup over a lined corpus
+    (lines planted deterministically as 5-word chunks of each document,
+    reproduced verbatim in the oracle SQL — near-dup docs share chunks,
+    so cross-document duplicate lines exist and get stripped)."""
+    from studiocr_spark.operators.dedup import line_dedup as ld
+    from studiocr_spark.operators.textstats import words_of
+
+    docs = _t(spark, sf_dir, "documents")
+    w = words_of(F.col("text"))
+    n_chunks = F.ceil(F.size(w) / F.lit(5)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(w, i * 5 + 1, 5), " "),
+    )
+    lined = docs.select(
+        "doc_id", F.array_join(chunks, "\n").alias("text")
+    )
+    return ld(lined, min_doc_freq=2)
+
+
+def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus stats through the generic two-phase salted
+    aggregation (operators/skew.py) — the hot-domain-proof shape; the
+    oracle is the plain GROUP BY it must equal."""
+    from studiocr_spark.operators.skew import salted_aggregate
+
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    out = salted_aggregate(
+        docs,
+        ["source"],
+        [
+            F.count("*").alias("p_n"),
+            F.sum("n_chars").alias("p_chars"),
+        ],
+        lambda: [
+            F.sum("p_n").cast("long").alias("n_docs"),
+            F.sum("p_chars").cast("long").alias("total_chars"),
+        ],
+        n_salts=8,
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        _r(F.col("total_chars") / F.col("n_docs"), 6).alias("mean_chars"),
+    )
+
+
 def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs (doc_id >= 25) sharing
     >= 2 distinct word 3-grams with an eval doc (doc_id < 25). The eval
@@ -1093,6 +1150,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_order_priority": pivot_order_priority,
         "set_ops_customers": set_ops_customers,
         "percentile_prices": percentile_prices,
+        "gopher_quality": gopher_quality,
+        "line_dedup": line_dedup,
+        "domain_stats": domain_stats,
         "decontaminate_corpus": decontaminate_corpus,
         "repetition_scores": repetition_scores,
         "pii_redaction": pii_redaction,
@@ -1632,6 +1692,109 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, a.n_ngrams, a.n_unique,
                    a.dup_ngram_frac, a.top_gram_frac
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "gopher_quality": r"""
+            WITH staged AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x != '') AS w,
+                     string_split(text, chr(10)) AS l,
+                     length(regexp_replace(text, '\s', '', 'g'))
+                       AS word_chars,
+                     length(text) - length(replace(text, '#', ''))
+                       AS n_hash,
+                     len(regexp_extract_all(text, '\.\.\.')) AS n_ell
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     len(w) AS nw, len(l) AS nl,
+                     greatest(len(w), 1) AS nw1,
+                     greatest(len(l), 1) AS nl1,
+                     word_chars, n_hash, n_ell,
+                     len(list_filter(l,
+                       x -> regexp_matches(trim(x), '^[-*•]')))
+                       AS n_bullet,
+                     len(list_filter(l,
+                       x -> regexp_matches(x, '(\.\.\.|…)$')))
+                       AS n_ell_lines,
+                     len(list_filter(w,
+                       x -> regexp_matches(x, '[a-zA-Z]')))
+                       AS n_alpha,
+                     len(list_intersect(
+                       list_distinct(list_transform(w, x -> lower(x))),
+                       ['the','be','to','of','and','that','have','with']))
+                       AS n_req
+              FROM staged
+            )
+            SELECT doc_id,
+                   CAST(nw AS BIGINT) AS n_words,
+                   floor(word_chars * 1.0 / nw1 * 1e6 + 0.5) / 1e6
+                     AS mean_word_len,
+                   floor((n_hash + n_ell) * 1.0 / nw1 * 1e6 + 0.5) / 1e6
+                     AS symbol_word_ratio,
+                   floor(n_bullet * 1.0 / nl1 * 1e6 + 0.5) / 1e6
+                     AS bullet_line_frac,
+                   floor(n_ell_lines * 1.0 / nl1 * 1e6 + 0.5) / 1e6
+                     AS ellipsis_line_frac,
+                   floor(n_alpha * 1.0 / nw1 * 1e6 + 0.5) / 1e6
+                     AS alpha_word_frac,
+                   CAST(n_req AS BIGINT) AS n_req_stopwords,
+                   (nw >= 50 AND nw <= 100000
+                    AND word_chars * 1.0 / nw1 >= 3.0
+                    AND word_chars * 1.0 / nw1 <= 10.0
+                    AND (n_hash + n_ell) * 1.0 / nw1 <= 0.1
+                    AND n_bullet * 1.0 / nl1 <= 0.9
+                    AND n_ell_lines * 1.0 / nl1 <= 0.3
+                    AND n_alpha * 1.0 / nw1 >= 0.8
+                    AND n_req >= 2) AS passes_gopher
+            FROM m
+        """,
+        "line_dedup": r"""
+            WITH ws AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x != '') AS w
+              FROM documents
+            ), lined AS (
+              SELECT doc_id,
+                     array_to_string(
+                       [array_to_string(w[i * 5 + 1 : i * 5 + 5], ' ')
+                        FOR i IN range(0, greatest(
+                          CAST(ceil(len(w) / 5.0) AS INT), 1))],
+                       chr(10)) AS text
+              FROM ws
+            ), ln AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(range(1, len(string_split(text, chr(10))) + 1))
+                       AS line_no
+              FROM lined
+            ), freq AS (
+              SELECT line, count(DISTINCT doc_id) AS d
+              FROM ln GROUP BY line
+            ), kept AS (
+              SELECT ln.doc_id, ln.line, ln.line_no
+              FROM ln JOIN freq USING (line) WHERE freq.d < 2
+            ), reb AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                     string_agg(line, chr(10) ORDER BY line_no)
+                       AS clean_text
+              FROM kept GROUP BY doc_id
+            )
+            SELECT l.doc_id,
+                   CAST(len(string_split(l.text, chr(10))) AS BIGINT)
+                     AS n_lines,
+                   COALESCE(r.n_kept, 0) AS n_kept,
+                   COALESCE(r.clean_text, '') AS clean_text
+            FROM lined l LEFT JOIN reb r USING (doc_id)
+        """,
+        "domain_stats": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   floor(sum(n_chars) * 1.0 / count(*) * 1e6 + 0.5) / 1e6
+                     AS mean_chars
+            FROM documents GROUP BY source
         """,
         "decontaminate_corpus": r"""
             WITH ws AS (

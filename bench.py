@@ -57,6 +57,9 @@ HEADLINE = [
     "doc_fingerprints",
     "sample_stratified",
     "decontaminate_corpus",
+    "gopher_quality",
+    "line_dedup",
+    "domain_stats",
     "repetition_scores",
     "pii_redaction",
     "pack_shards",

@@ -702,3 +702,66 @@ def ngram_jaccard_pairs(
     if checkpoint_candidates:
         pairs = pairs.localCheckpoint(eager=False)
     return jaccard_verify(pairs, docs, text_col, n, threshold)
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_doc_freq: int = 2,
+    line_sep: str = "\n",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_lines, n_kept, clean_text): drop every line whose
+    exact content appears in at least ``min_doc_freq`` DISTINCT
+    documents — RefinedWeb/C4-style line-level exact dedup (the pass
+    that strips boilerplate lines like nav menus and cookie banners
+    that repeat across a site).
+
+    Scale shape: lines explode once; the document-frequency aggregate
+    groups on the md5 DIGEST of the line (32 bytes through the shuffle,
+    never the line text), exactly like exact_dedup; hot lines are by
+    definition the duplicated ones, and a uniform digest key cannot
+    skew. The hot-digest set joins back as a left-anti (no broadcast
+    assumption — at corpus scale the duplicated-line set is itself
+    large). Rebuild is one groupBy over (doc, kept lines) with an
+    in-group array_sort — no window, no global sort. Documents whose
+    every line was dropped still emit a row (clean_text = '').
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias(
+            "line_no", "line"
+        ),
+    ).withColumn("digest", F.md5("line"))
+    hot = (
+        lines.groupBy("digest")
+        .agg(F.count_distinct(F.col(id_col)).alias("line_df"))
+        .filter(F.col("line_df") >= min_doc_freq)
+        .select("digest")
+    )
+    kept = lines.join(hot, "digest", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"],
+            ),
+            line_sep,
+        ).alias("clean_text"),
+    )
+    totals = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), line_sep))
+        .cast("long")
+        .alias("n_lines"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

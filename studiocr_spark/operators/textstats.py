@@ -263,3 +263,90 @@ def fingerprints(
         return texts.map(fp)
 
     return docs.select("doc_id", _fp(text_col).alias("fingerprint"))
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, public heuristics).
+GOPHER_REQ_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_REQ_STOPWORDS = 2
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_words, mean_word_len, symbol_word_ratio,
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+    n_req_stopwords, passes_gopher): the Gopher corpus-filtering rules
+    (public heuristic family; MassiveText paper) as one narrow
+    projection — zero shuffles, zero Python, every ratio a single
+    division of exact integers so the DuckDB oracle hash-compares.
+
+    Rules: 50 <= words <= 100k; mean word length in [3, 10]; '#'/'...'
+    symbol-to-word ratio <= 0.1; <= 90% of lines bullet-started;
+    <= 30% of lines ellipsis-ended; >= 80% of words contain an
+    alphabetic char; >= 2 of the 8 required English stopwords present.
+    """
+    words = words_of(F.col(text_col))
+    lines = F.split(F.col(text_col), "\n")
+    staged = docs.withColumns({"_w": words, "_l": lines})
+    nw = F.size("_w")
+    nl = F.size("_l")
+    nw1 = F.greatest(nw, F.lit(1))
+    nl1 = F.greatest(nl, F.lit(1))
+    # sum of word lengths == count of non-whitespace chars (words are
+    # maximal non-\s runs) — a codegen-friendly regexp instead of an
+    # interpreted fold over the word array
+    total_word_chars = F.length(
+        F.regexp_replace(F.col(text_col), r"\s", "")
+    )
+    n_hash = F.length(text_col) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    n_ellipsis = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"\.\.\."), 0)
+    )
+    n_bullet_lines = F.size(
+        F.filter("_l", lambda l: F.trim(l).rlike(r"^[-*•]"))
+    )
+    n_ellipsis_lines = F.size(
+        F.filter("_l", lambda l: l.rlike(r"(\.\.\.|…)$"))
+    )
+    n_alpha_words = F.size(F.filter("_w", lambda w: w.rlike("[a-zA-Z]")))
+    n_req = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform("_w", F.lower)),
+            F.array(*[F.lit(s) for s in GOPHER_REQ_STOPWORDS]),
+        )
+    )
+    mean_wl = total_word_chars / nw1
+    sym_ratio = (n_hash + n_ellipsis) / nw1
+    bullet_frac = n_bullet_lines / nl1
+    ell_frac = n_ellipsis_lines / nl1
+    alpha_frac = n_alpha_words / nw1
+    passes = (
+        (nw >= GOPHER_MIN_WORDS)
+        & (nw <= GOPHER_MAX_WORDS)
+        & (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (sym_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_frac <= GOPHER_MAX_BULLET_FRAC)
+        & (ell_frac <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (n_req >= GOPHER_MIN_REQ_STOPWORDS)
+    )
+    return staged.select(
+        "doc_id",
+        nw.cast("long").alias("n_words"),
+        round6(mean_wl).alias("mean_word_len"),
+        round6(sym_ratio).alias("symbol_word_ratio"),
+        round6(bullet_frac).alias("bullet_line_frac"),
+        round6(ell_frac).alias("ellipsis_line_frac"),
+        round6(alpha_frac).alias("alpha_word_frac"),
+        n_req.cast("long").alias("n_req_stopwords"),
+        passes.alias("passes_gopher"),
+    )

@@ -156,3 +156,29 @@ def test_simhash_tokenizes_like_words_of(spark):
                 votes[b] += 1 if int(h[b], 16) % 2 == 1 else -1
         expect = sum(2 ** b for b in range(16) if votes[b] > 0)
         assert got[i] == expect, (i, words)
+
+
+def test_line_dedup_semantics(spark):
+    """Cross-document duplicate lines are stripped; unique lines keep
+    their order; fully-duplicated docs still emit a row."""
+    from studiocr_spark.operators.dedup import line_dedup
+
+    boiler = "accept cookies to continue"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{boiler}\nunique alpha content\nmore alpha"),
+            (1, f"{boiler}\nunique beta content"),
+            (2, boiler),                      # nothing survives
+            (3, "repeated inside\nrepeated inside\nsolo line"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in line_dedup(docs, min_doc_freq=2).collect()}
+    assert got[0].clean_text == "unique alpha content\nmore alpha"
+    assert (got[0].n_lines, got[0].n_kept) == (3, 2)
+    assert got[1].clean_text == "unique beta content"
+    assert got[2].clean_text == "" and got[2].n_kept == 0
+    # within-ONE-doc repetition is NOT cross-document: df counts
+    # distinct docs, so doc 3 keeps all its lines in order
+    assert got[3].clean_text == "repeated inside\nrepeated inside\nsolo line"
+    assert got[3].n_kept == 3

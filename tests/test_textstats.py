@@ -212,3 +212,31 @@ def test_repetition_null_text_agrees_with_oracle(spark):
         ).fetchall()
     }
     assert got == duck, (got, duck)
+
+
+def test_gopher_rules_semantics(spark):
+    from studiocr_spark.operators.textstats import gopher_rules
+
+    long_good = "the cat sat on the mat and that dog ran with it " * 5
+    docs = spark.createDataFrame(
+        [
+            (0, long_good.strip()),                    # passes everything
+            (1, "too short to pass"),                  # < 50 words
+            (2, ("# " * 30 + "the be to of and that have with " * 3).strip()),
+            (3, "- bullet\n- bullet\n- bullet\nthe be to of and real text"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert got[0].passes_gopher
+    assert got[0].n_req_stopwords >= 2
+    assert not got[1].passes_gopher          # word-count floor
+    assert not got[2].passes_gopher          # symbol ratio blown by '#'
+    assert got[2].symbol_word_ratio > 0.1
+    assert got[3].bullet_line_frac == 0.75   # 3 of 4 lines
+    assert got[4].n_words == 0 and not got[4].passes_gopher
+    # narrow: zero shuffles
+    from studiocr_spark.plans.explain import shuffle_exchanges
+
+    assert shuffle_exchanges(gopher_rules(docs)) == []
