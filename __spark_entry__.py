@@ -905,6 +905,31 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def sample_top_n_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-domain contribution cap (hash-ordered top-10
+    per source) — reservoir-sample equivalent, stable across re-runs."""
+    from studiocr_spark.operators.sampling import top_n_per_group
+
+    return top_n_per_group(
+        _t(spark, sf_dir, "documents"), n=10, group_col="source"
+    ).select("doc_id", "source", "lang")
+
+
+MIXTURE_TARGET = {"en": 0.5, "es": 0.2, "de": 0.2, "fr": 0.1}
+
+
+def rebalance_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture rebalancing toward fixed curriculum weights
+    (downsample-only; zh absent from the target and therefore dropped);
+    the oracle recomputes the per-stratum keep fractions in SQL with
+    the identical float arithmetic."""
+    from studiocr_spark.operators.sampling import rebalance_mixture as rm
+
+    return rm(
+        _t(spark, sf_dir, "documents"), MIXTURE_TARGET, strata_col="lang"
+    ).select("doc_id", "lang")
+
+
 def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher corpus-filtering rules (MassiveText heuristics) as one
     narrow projection; every ratio an exact-integer division."""
@@ -1150,6 +1175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_order_priority": pivot_order_priority,
         "set_ops_customers": set_ops_customers,
         "percentile_prices": percentile_prices,
+        "sample_top_n_per_source": sample_top_n_per_source,
+        "rebalance_mixture": rebalance_mixture,
         "gopher_quality": gopher_quality,
         "line_dedup": line_dedup,
         "domain_stats": domain_stats,
@@ -1692,6 +1719,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, a.n_ngrams, a.n_unique,
                    a.dup_ngram_frac, a.top_gram_frac
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "sample_top_n_per_source": """
+            WITH ranked AS (
+              SELECT doc_id, source, lang,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY CAST(('0x' || substr(md5('topn|' ||
+                         CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                         doc_id) AS rk
+              FROM documents
+            )
+            SELECT doc_id, source, lang FROM ranked WHERE rk <= 10
+        """,
+        "rebalance_mixture": """
+            WITH c AS (
+              SELECT lang, count(*) AS n FROM documents GROUP BY lang
+            ), t(lang, t) AS (
+              VALUES ('en', CAST(0.5 AS DOUBLE)),
+                     ('es', CAST(0.2 AS DOUBLE)),
+                     ('de', CAST(0.2 AS DOUBLE)),
+                     ('fr', CAST(0.1 AS DOUBLE))
+            ), j AS (
+              SELECT c.lang, c.n, t.t FROM c JOIN t USING (lang)
+              WHERE t.t > 0 AND c.n > 0
+            ), tot AS (
+              SELECT min(n / t) AS total FROM j
+            ), fr AS (
+              SELECT lang, (SELECT total FROM tot) * t / n AS f FROM j
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN fr USING (lang)
+            WHERE CAST(('0x' || substr(md5('mix|' ||
+                    CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  / 4294967296.0 < fr.f
         """,
         "gopher_quality": r"""
             WITH staged AS (

@@ -57,6 +57,8 @@ HEADLINE = [
     "doc_fingerprints",
     "sample_stratified",
     "decontaminate_corpus",
+    "sample_top_n_per_source",
+    "rebalance_mixture",
     "gopher_quality",
     "line_dedup",
     "domain_stats",

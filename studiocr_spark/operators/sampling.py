@@ -132,3 +132,71 @@ def pack_sequences(
         ),
         "n_tokens",
     )
+
+
+def top_n_per_group(
+    docs: DataFrame,
+    n: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "topn",
+) -> DataFrame:
+    """Deterministic per-group uniform subsample: the ``n`` rows of each
+    group with the smallest salted id-hash — a reservoir-sample
+    equivalent whose membership is a pure function of (salt, id), so
+    re-runs and incremental appends keep identical rows per group.
+
+    One shuffle (the per-group window); rank ties broken by id so the
+    ordering is total even under (astronomically unlikely) hash
+    collisions. The standard "cap any one domain's contribution" move
+    in crawl curation.
+    """
+    h = hash_unit(F.col(id_col), salt)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )
+
+
+def rebalance_mixture(
+    docs: DataFrame,
+    target: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Downsample strata so the OUTPUT approximates the ``target``
+    mixture (curriculum/data-mixing weights, e.g. language or source
+    proportions for a training run) — by downsampling only, never
+    upsampling.
+
+    Let c_s be stratum counts and t_s the target shares. The largest
+    achievable total is T = min over s (c_s / t_s); each stratum keeps
+    fraction T * t_s / c_s of its rows via the deterministic salted-
+    hash filter (:func:`stratified_sample`), so expected output shares
+    equal the target. Strata missing from ``target`` are dropped.
+
+    The per-stratum counts are a driver-side collect of ONE small
+    aggregate row per stratum (languages/sources — dims, not data), the
+    same driver-sized materialization pattern as IVF centroids; the
+    corpus itself sees only the narrow hash filter.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in docs.groupBy(strata_col)
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    eligible = {
+        s: t for s, t in target.items() if t > 0 and counts.get(s, 0) > 0
+    }
+    if not eligible:
+        return docs.filter(F.lit(False))
+    total = min(counts[s] / t for s, t in eligible.items())
+    fractions = {s: total * t / counts[s] for s, t in eligible.items()}
+    return stratified_sample(
+        docs, fractions, strata_col=strata_col, id_col=id_col, salt=salt,
+        default_fraction=0.0,
+    )

@@ -83,3 +83,58 @@ def test_pack_oversized_doc_gets_own_shard(spark):
     assert out[1].shard == 0
     assert out[2].shard > 0
     assert out[2].shard == out[3].shard  # both tiny -> same shard
+
+
+def test_top_n_per_group_deterministic_cap(spark):
+    from studiocr_spark.operators.sampling import top_n_per_group
+
+    docs = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(60)], "doc_id long, source string"
+    )
+    out = top_n_per_group(docs, n=5, group_col="source")
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.source, set()).add(r.doc_id)
+    assert {len(v) for v in per.values()} == {5}
+    # deterministic: identical membership on re-run
+    again = {
+        (r.source, r.doc_id)
+        for r in top_n_per_group(docs, n=5, group_col="source").collect()
+    }
+    assert again == {(r.source, r.doc_id) for r in rows}
+    # groups smaller than n keep everything
+    small = spark.createDataFrame(
+        [(0, "x"), (1, "x")], "doc_id long, source string"
+    )
+    assert top_n_per_group(small, n=5, group_col="source").count() == 2
+
+
+def test_rebalance_mixture_hits_target_shares(spark):
+    from studiocr_spark.operators.sampling import rebalance_mixture
+
+    rows = (
+        [(i, "en") for i in range(600)]
+        + [(1000 + i, "es") for i in range(300)]
+        + [(2000 + i, "de") for i in range(60)]   # scarcest vs target
+        + [(3000 + i, "zh") for i in range(100)]  # not in target
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = rebalance_mixture(
+        docs, {"en": 0.5, "es": 0.3, "de": 0.2}, strata_col="lang"
+    )
+    got = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
+    assert "zh" not in got
+    # de is the binding stratum: T = 60/0.2 = 300 -> expect ~150/90/60
+    assert got["de"] == 60  # fraction 1.0 keeps every de row
+    total = sum(got.values())
+    assert abs(got["en"] / total - 0.5) < 0.06
+    assert abs(got["es"] / total - 0.3) < 0.06
+    # deterministic
+    again = {
+        r[0]: r[1]
+        for r in rebalance_mixture(
+            docs, {"en": 0.5, "es": 0.3, "de": 0.2}, strata_col="lang"
+        ).groupBy("lang").count().collect()
+    }
+    assert again == got
