@@ -905,6 +905,33 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + url-level dedup over deterministically
+    planted messy URLs (4 spelling variants per page — case, default
+    port, tracking params, fragment — all collapsing to one canonical
+    form; the oracle replicates the planting and the regexp chain)."""
+    from studiocr_spark.operators.urls import url_dedup
+
+    did = F.col("doc_id")
+    p = (did % 25).cast("string")
+    v = did % 4
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("http://site"), p, F.lit(".com/p/"), p, F.lit("?a=1&b=2")))
+        .when(v == 1, F.concat(
+            F.lit("HTTP://SITE"), p, F.lit(".COM:80/p/"), p,
+            F.lit("?b=2&a=1#frag")))
+        .when(v == 2, F.concat(
+            F.lit("http://site"), p, F.lit(".com/p/"), p,
+            F.lit("?utm_source=x&a=1&b=2")))
+        .otherwise(F.concat(
+            F.lit("http://site"), p, F.lit(".com:80/p/"), p,
+            F.lit("?a=1&utm_campaign=y&b=2#x")))
+    )
+    pages = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return url_dedup(pages)
+
+
 def sample_top_n_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-domain contribution cap (hash-ordered top-10
     per source) — reservoir-sample equivalent, stable across re-runs."""
@@ -1175,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_order_priority": pivot_order_priority,
         "set_ops_customers": set_ops_customers,
         "percentile_prices": percentile_prices,
+        "url_canonical_dedup": url_canonical_dedup,
         "sample_top_n_per_source": sample_top_n_per_source,
         "rebalance_mixture": rebalance_mixture,
         "gopher_quality": gopher_quality,
@@ -1719,6 +1747,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, a.n_ngrams, a.n_unique,
                    a.dup_ngram_frac, a.top_gram_frac
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "url_canonical_dedup": r"""
+            WITH base AS (
+              SELECT doc_id, CAST(doc_id % 25 AS VARCHAR) AS p
+              FROM documents
+            ), u AS (
+              SELECT doc_id,
+                CASE doc_id % 4
+                  WHEN 0 THEN 'http://site' || p || '.com/p/' || p
+                              || '?a=1&b=2'
+                  WHEN 1 THEN 'HTTP://SITE' || p || '.COM:80/p/' || p
+                              || '?b=2&a=1#frag'
+                  WHEN 2 THEN 'http://site' || p || '.com/p/' || p
+                              || '?utm_source=x&a=1&b=2'
+                  ELSE 'http://site' || p || '.com:80/p/' || p
+                       || '?a=1&utm_campaign=y&b=2#x'
+                END AS url
+              FROM base
+            ), parts AS (
+              SELECT doc_id, url,
+                lower(regexp_extract(url,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+                regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+                  AS path0,
+                regexp_extract(url, '\?([^#]*)', 1) AS query
+              FROM u
+            ), c AS (
+              SELECT doc_id,
+                scheme || '://'
+                || CASE WHEN scheme = 'http'
+                          THEN regexp_replace(hostport, ':80$', '')
+                        WHEN scheme = 'https'
+                          THEN regexp_replace(hostport, ':443$', '')
+                        ELSE hostport END
+                || CASE WHEN path0 = '' THEN '/' ELSE path0 END
+                || CASE WHEN kept != '' THEN '?' || kept ELSE '' END
+                  AS canonical_url
+              FROM (
+                SELECT *, array_to_string(list_sort(list_filter(
+                         string_split(query, '&'),
+                         x -> x != '' AND NOT regexp_matches(x,
+                           '^(utm_[A-Za-z0-9_]*|fbclid|gclid)='))), '&')
+                         AS kept
+                FROM parts)
+            ), g AS (
+              SELECT canonical_url, min(doc_id) AS canonical_id
+              FROM c GROUP BY canonical_url
+            )
+            SELECT c.doc_id, c.canonical_url, g.canonical_id,
+                   (c.doc_id != g.canonical_id) AS is_duplicate
+            FROM c JOIN g USING (canonical_url)
         """,
         "sample_top_n_per_source": """
             WITH ranked AS (

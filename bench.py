@@ -57,6 +57,7 @@ HEADLINE = [
     "doc_fingerprints",
     "sample_stratified",
     "decontaminate_corpus",
+    "url_canonical_dedup",
     "sample_top_n_per_source",
     "rebalance_mixture",
     "gopher_quality",

@@ -726,7 +726,15 @@ def line_dedup(
     large). Rebuild is one groupBy over (doc, kept lines) with an
     in-group array_sort — no window, no global sort. Documents whose
     every line was dropped still emit a row (clean_text = '').
+
+    Null text is coalesced to '' up front so both engines agree by
+    construction (Spark's size(split(NULL)) is -1 while SQL splits of
+    NULL vanish or nullify — the same latent-mismatch class the
+    repetition-stats ADVICE fix closed).
     """
+    docs = docs.withColumn(
+        text_col, F.coalesce(F.col(text_col), F.lit(""))
+    )
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), line_sep)).alias(

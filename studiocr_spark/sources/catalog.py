@@ -112,6 +112,31 @@ class ParquetCatalog:
         self.overwrite(remaining, table)
         return before - remaining.count()
 
+    def upsert(
+        self, df: DataFrame, table: str, key_cols: list[str]
+    ) -> dict[str, int]:
+        """MERGE INTO semantics on the versioned store: incoming rows
+        REPLACE current rows sharing their key; new keys insert. One
+        snapshot commit; readers see before or after, never between.
+        Returns {"updated", "inserted"} counts.
+
+        Incoming ``df`` must be unique per key (the reference's
+        upsert-by-primary-key contract, db.py save()); at scale the
+        anti-join shuffles only the key columns of the current version.
+        The Iceberg production analog is ``MERGE INTO t USING s ON
+        <keys> WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+        INSERT *`` (IcebergCatalog.merge_sql).
+        """
+        if not self.exists(table):
+            self.overwrite(df, table)
+            return {"updated": 0, "inserted": df.count()}
+        cur = self.read(table)
+        incoming_keys = df.select(*key_cols).distinct()
+        surviving = cur.join(incoming_keys, key_cols, "left_anti")
+        updated = cur.count() - surviving.count()
+        self.overwrite(surviving.unionByName(df), table)
+        return {"updated": updated, "inserted": df.count() - updated}
+
     def vacuum(self, table: str, keep: int = 1) -> int:
         """Drop all but the newest ``keep`` versions (≈ expire_snapshots;
         the reference VACUUMs after delete, db.py:37)."""
@@ -198,4 +223,18 @@ class IcebergCatalog:
     def delete_where(self, table: str, cond_sql: str) -> None:
         self.spark.sql(
             f"DELETE FROM {self.catalog}.ocr.{table} WHERE {cond_sql}"
+        )
+
+    def merge_sql(
+        self, table: str, source_view: str, key_cols: list[str]
+    ) -> str:
+        """The MERGE INTO statement matching ParquetCatalog.upsert —
+        returned (not executed) so callers can inspect/submit it; the
+        jar-gated smoke test executes it where a runtime exists."""
+        on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+        return (
+            f"MERGE INTO {self.catalog}.ocr.{table} t "
+            f"USING {source_view} s ON {on} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
         )

@@ -170,6 +170,7 @@ def test_line_dedup_semantics(spark):
             (1, f"{boiler}\nunique beta content"),
             (2, boiler),                      # nothing survives
             (3, "repeated inside\nrepeated inside\nsolo line"),
+            (4, None),  # null text == empty text (one '' line)
         ],
         "doc_id long, text string",
     )
@@ -182,3 +183,4 @@ def test_line_dedup_semantics(spark):
     # distinct docs, so doc 3 keeps all its lines in order
     assert got[3].clean_text == "repeated inside\nrepeated inside\nsolo line"
     assert got[3].n_kept == 3
+    assert (got[4].n_lines, got[4].n_kept, got[4].clean_text) == (1, 1, "")

@@ -164,3 +164,37 @@ def test_salted_aggregate_matches_plain(spark, pages_df):
     )
     hot = {r.host for r in hot_keys(hosts, ["host"], 0.1, 1.0).collect()}
     assert "host0.example" in hot
+
+
+def test_catalog_upsert_merge_semantics(spark, tmp_path):
+    """Round-4 MERGE INTO equivalent: matched keys replaced, new keys
+    inserted, one snapshot commit (old version still readable until
+    vacuum)."""
+    from studiocr_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path / "cat"))
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "id long, name string, v long",
+    )
+    cat.overwrite(base, "t")
+    inc = spark.createDataFrame(
+        [(2, "b2", 200), (4, "d", 40)], "id long, name string, v long"
+    )
+    counts = cat.upsert(inc, "t", ["id"])
+    assert counts == {"updated": 1, "inserted": 1}
+    got = {r.id: (r.name, r.v) for r in cat.read("t").collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 200), 3: ("c", 30), 4: ("d", 40)}
+    # first-write path
+    counts2 = cat.upsert(inc, "t2", ["id"])
+    assert counts2 == {"updated": 0, "inserted": 2}
+    # the statement the production path would submit
+    from studiocr_spark.sources.catalog import IcebergCatalog
+
+    sql = IcebergCatalog.merge_sql(
+        type("C", (), {"catalog": "cat"})(), "ocr_pages", "updates",
+        ["url", "page_no"],
+    )
+    assert "MERGE INTO cat.ocr.ocr_pages t" in sql
+    assert "t.url = s.url AND t.page_no = s.page_no" in sql
+    assert "WHEN MATCHED THEN UPDATE SET *" in sql
