@@ -278,6 +278,69 @@ GOPHER_MIN_ALPHA_FRAC = 0.8
 GOPHER_MIN_REQ_STOPWORDS = 2
 
 
+def with_gopher(
+    df: DataFrame, text_col: str = "text", flag_col: str = "passes_gopher"
+) -> DataFrame:
+    """Column-level Gopher pass/fail: appends ``flag_col`` to ``df`` as
+    a pure projection — NO join, NO shuffle (the composition form for
+    cleaning pipelines, like with_lang_id / with_quality; the full
+    per-rule breakdown lives in :func:`gopher_rules`)."""
+    staged = df.withColumns(
+        {
+            "_gw": words_of(F.col(text_col)),
+            "_gl": F.split(F.col(text_col), "\n"),
+        }
+    )
+    passes = _gopher_passes(text_col, "_gw", "_gl")
+    return staged.withColumn(flag_col, passes).drop("_gw", "_gl")
+
+
+def _gopher_passes(text_col: str, w: str, l: str) -> Column:
+    """The conjunction of the Gopher rules over staged word/line array
+    columns ``w``/``l`` (shared by gopher_rules and with_gopher)."""
+    nw = F.size(w)
+    nw1 = F.greatest(nw, F.lit(1))
+    nl1 = F.greatest(F.size(l), F.lit(1))
+    total_word_chars = F.length(
+        F.regexp_replace(F.col(text_col), r"\s", "")
+    )
+    n_hash = F.length(text_col) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    n_ellipsis = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"\.\.\."), 0)
+    )
+    mean_wl = total_word_chars / nw1
+    return (
+        (nw >= GOPHER_MIN_WORDS)
+        & (nw <= GOPHER_MAX_WORDS)
+        & (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN)
+        & ((n_hash + n_ellipsis) / nw1 <= GOPHER_MAX_SYMBOL_RATIO)
+        & (
+            F.size(F.filter(l, lambda x: F.trim(x).rlike(r"^[-*•]"))) / nl1
+            <= GOPHER_MAX_BULLET_FRAC
+        )
+        & (
+            F.size(F.filter(l, lambda x: x.rlike(r"(\.\.\.|…)$"))) / nl1
+            <= GOPHER_MAX_ELLIPSIS_FRAC
+        )
+        & (
+            F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]"))) / nw1
+            >= GOPHER_MIN_ALPHA_FRAC
+        )
+        & (
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(F.transform(w, F.lower)),
+                    F.array(*[F.lit(s) for s in GOPHER_REQ_STOPWORDS]),
+                )
+            )
+            >= GOPHER_MIN_REQ_STOPWORDS
+        )
+    )
+
+
 def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_words, mean_word_len, symbol_word_ratio,
     bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
@@ -328,17 +391,10 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     bullet_frac = n_bullet_lines / nl1
     ell_frac = n_ellipsis_lines / nl1
     alpha_frac = n_alpha_words / nw1
-    passes = (
-        (nw >= GOPHER_MIN_WORDS)
-        & (nw <= GOPHER_MAX_WORDS)
-        & (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
-        & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN)
-        & (sym_ratio <= GOPHER_MAX_SYMBOL_RATIO)
-        & (bullet_frac <= GOPHER_MAX_BULLET_FRAC)
-        & (ell_frac <= GOPHER_MAX_ELLIPSIS_FRAC)
-        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
-        & (n_req >= GOPHER_MIN_REQ_STOPWORDS)
-    )
+    # single source of truth for the conjunction (shared with
+    # with_gopher, so the pipeline flag can never drift from the
+    # oracle-checked breakdown)
+    passes = _gopher_passes(text_col, "_w", "_l")
     return staged.select(
         "doc_id",
         nw.cast("long").alias("n_words"),

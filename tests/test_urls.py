@@ -47,3 +47,28 @@ def test_url_dedup_groups_spelling_variants(spark):
     assert got[2].canonical_id == 0 and got[2].is_duplicate
     assert got[3].canonical_id == 3 and not got[3].is_duplicate
     assert got[1].canonical_url == "http://a.com/x?p=1"
+
+
+def test_canonicalize_is_idempotent_on_fuzz(spark):
+    """canon(canon(u)) == canon(u) over seeded random URL-ish strings —
+    the property that makes re-canonicalizing an already-clean corpus a
+    no-op (incremental pipelines re-run it freely)."""
+    import random
+
+    rng = random.Random(5)
+    frags = ["http://", "HTTPS://", "Site", ".COM", ".org", ":80", ":443",
+             "/p", "/P/x", "?a=1", "&b=2", "&utm_source=z", "#f", "",
+             "q=", "&&", "xyz", ":8080"]
+    urls = [
+        "".join(rng.choice(frags) for _ in range(rng.randint(1, 8)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string"
+    )
+    once = df.select("i", canonicalize_url(F.col("url")).alias("c1"))
+    twice = once.select(
+        "i", "c1", canonicalize_url(F.col("c1")).alias("c2")
+    )
+    bad = twice.filter(F.col("c1") != F.col("c2")).collect()
+    assert not bad, bad[:5]
