@@ -260,3 +260,35 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
+def test_round4_entry_shuffle_budgets(spark):
+    """Plan-shape budgets for the round-4 curation entries: each one's
+    exchange count is pinned at the number its scale story promises —
+    a regression that adds a shuffle (a lost narrow projection, an
+    accidental repartition) fails here before it costs anything at
+    100 TB."""
+    from studiocr_spark.plans.explain import (
+        formatted_plan,
+        shuffle_exchanges,
+    )
+
+    budgets = {
+        # narrow projections: zero shuffles
+        "gopher_quality": 0,
+        "rebalance_mixture": 0,   # count dim collected; corpus side narrow
+        # one shuffle: per-group window / digest grouping
+        "sample_top_n_per_source": 1,
+        # exactly the two-phase salted aggregate
+        "domain_stats": 2,
+        # line freq agg + rebuild agg + totals join
+        "line_dedup": 3,
+    }
+    for name, budget in budgets.items():
+        df = entry.queries()[name](spark, SF)
+        got = len(shuffle_exchanges(df))
+        assert got <= budget, (name, got, budget, formatted_plan(df))
+    url = entry.queries()["url_canonical_dedup"](spark, SF)
+    plan = formatted_plan(url)
+    assert "CartesianProduct" not in plan
+    assert len(shuffle_exchanges(url)) <= 2, plan
