@@ -517,6 +517,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).orderBy("doc_id")
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup keep policy: MinHash-LSH clusters keep
+    their highest-quality member (ties -> min id) instead of the
+    min-id copy; docs in no pair are singleton clusters and kept."""
+    from studiocr_spark.operators.dedup import (
+        keep_best_in_clusters,
+        minhash_lsh_dedup,
+    )
+    from studiocr_spark.operators.textstats import quality_scores
+
+    pairs = minhash_lsh_dedup(
+        _t_wide(spark, sf_dir, "documents"), threshold=0.3
+    )
+    scored = quality_scores(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "quality"
+    )
+    return keep_best_in_clusters(scored, pairs)
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from studiocr_spark.operators.similarity import brute_force_topk
 
@@ -1184,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_clusters": dedup_clusters,
+        "dedup_keep_best": dedup_keep_best,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1528,6 +1548,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, min(label) AS cluster_id
             FROM reach GROUP BY node ORDER BY doc_id
+        """,
+        "dedup_keep_best": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT doc_a, doc_b FROM ({_minhash_oracle()})
+            ), edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM pairs
+            ), nodes AS (
+              SELECT DISTINCT src AS node FROM edges
+            ), reach(node, label) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT e.dst AS node, r.label
+              FROM reach r JOIN edges e ON e.src = r.node
+            ), labels AS (
+              SELECT node AS doc_id, min(label) AS cluster_id
+              FROM reach GROUP BY node
+            ), q AS ({_quality_oracle()}),
+            clustered AS (
+              SELECT q.doc_id,
+                     COALESCE(l.cluster_id, q.doc_id) AS cluster_id,
+                     q.quality
+              FROM q LEFT JOIN labels l USING (doc_id)
+            ), ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY quality DESC, doc_id) AS rk
+              FROM clustered
+            )
+            SELECT doc_id, cluster_id, quality, (rk = 1) AS keep
+            FROM ranked
         """,
         "ann_cosine_topk": """
             -- DOUBLE[] cast: list_cosine_similarity on float[] returns a

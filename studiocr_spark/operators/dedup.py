@@ -773,3 +773,45 @@ def line_dedup(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def keep_best_in_clusters(
+    scored_docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str = "quality",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, cluster_id, <score_col>, keep): near-dup clusters keep
+    their HIGHEST-SCORING member instead of the lowest id.
+
+    The production keep policy for near-dup dedup: min-id keeps
+    whichever copy happened to be crawled first; keeping the argmax of
+    a quality signal (language quality, length, recency score — any
+    per-doc column) retains the best representative. Clusters come
+    from :func:`connected_components` over ``pairs``; documents in no
+    pair are singleton clusters of themselves and always kept. Ties
+    break by min id (deterministic).
+
+    Scale shape: CC is the existing O(log diameter) loop; the label
+    attach is one id-keyed left join (labels are ids-only); the keep
+    decision is one window over cluster_id — clusters are small by
+    construction (near-dup groups), so no skew concern.
+    """
+    from pyspark.sql import Window
+
+    labels = connected_components(pairs, a_col="doc_a", b_col="doc_b")
+    joined = scored_docs.select(F.col(id_col), F.col(score_col)).join(
+        labels.withColumnRenamed("doc_id", id_col), id_col, "left"
+    )
+    clustered = joined.withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col(id_col))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return clustered.select(
+        id_col,
+        "cluster_id",
+        score_col,
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

@@ -44,3 +44,25 @@ def test_nonconvergence_raises_not_mislabels(spark):
     # strict=False: partial labels allowed, caller opted in
     loose = connected_components(pairs, max_iter=1, strict=False)
     assert loose.count() == 13
+
+
+def test_keep_best_in_clusters_argmax_policy(spark):
+    """Clusters keep their highest-score member (ties -> min id);
+    singletons always keep themselves."""
+    from studiocr_spark.operators.dedup import keep_best_in_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    scored = spark.createDataFrame(
+        [(1, 0.4), (2, 0.9), (3, 0.6), (10, 0.5), (11, 0.5), (99, 0.1)],
+        "doc_id long, quality double",
+    )
+    got = {r.doc_id: r for r in keep_best_in_clusters(scored, pairs).collect()}
+    # cluster {1,2,3}: argmax quality = 2
+    assert [got[i].keep for i in (1, 2, 3)] == [False, True, False]
+    assert {got[i].cluster_id for i in (1, 2, 3)} == {1}
+    # tie at 0.5 -> min id wins
+    assert (got[10].keep, got[11].keep) == (True, False)
+    # singleton (no pair) keeps itself, cluster_id = own id
+    assert got[99].keep and got[99].cluster_id == 99
