@@ -552,19 +552,70 @@ _ANN_DUMPS = os.path.join(
 )
 
 
-def _dump_ann(df: DataFrame, name: str) -> str:
-    """Persist an approx-ANN result to the fixed per-entry dump dir and
-    return the path. The committed-dump oracle technique (as
-    extract_blocks): the entry dumps the Spark-side approximate result,
-    reads it BACK for its own recall arithmetic, and the DuckDB oracle
-    recomputes the exact ground truth AND the same recall arithmetic
-    from the identical dump — so the previously rows-only recall audits
-    hash-compare end to end. The driver (and tools/check_oracle.py)
-    always runs the Spark entry before its oracle SQL, so the dump
-    exists when DuckDB reads it."""
-    path = os.path.join(_ANN_DUMPS, name)
-    df.write.mode("overwrite").parquet(path)
-    return path
+# the SQL fragment DuckDB uses to recompute the fingerprint from its
+# registered `embeddings` view — must stay arithmetic-identical to
+# _corpus_fp (float->double cast, *1e6+0.5, floor, bigint, sum)
+_CORPUS_FP_SQL = (
+    "SELECT sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e6 + 0.5) "
+    "AS BIGINT)) FROM embeddings"
+)
+
+
+def _corpus_fp(emb: DataFrame) -> int:
+    """Content fingerprint of an embeddings frame: bigint sum of
+    floor(first_component * 1e6 + 0.5) over every vector. Exact integer
+    arithmetic after the floor, so it is summation-order-independent,
+    and the float->double widening plus one multiply/add is IEEE-
+    identical in Spark and DuckDB (_CORPUS_FP_SQL)."""
+    row = emb.agg(
+        F.sum(
+            F.floor(
+                F.element_at("embedding", 1).cast("double") * 1e6 + 0.5
+            ).cast("long")
+        ).alias("fp")
+    ).first()
+    return int(row.fp)
+
+
+def _dump_ann(
+    df: DataFrame, name: str, sf_dir: str, corpus_fp: int
+) -> DataFrame:
+    """Persist an approx-ANN result and return it read back.
+
+    The committed-dump oracle technique (as extract_blocks): the entry
+    dumps the Spark-side approximate result, reads it BACK for its own
+    recall arithmetic, and the DuckDB oracle recomputes the exact
+    ground truth AND the same recall arithmetic from the identical dump
+    — so the previously rows-only recall audits hash-compare end to
+    end. The driver (and tools/check_oracle.py) always runs the Spark
+    entry before its oracle SQL, so the dump exists when DuckDB reads
+    it.
+
+    Round-5 ADVICE fix: dumps are namespaced per sf-dir basename AND
+    stamped with ``corpus_fp`` (:func:`_corpus_fp` — a content
+    fingerprint of the embeddings table; the row COUNT alone does not
+    discriminate, sf0.001 and sf0.01 both carry 500 vectors), and the
+    oracle SQL globs all namespaces but filters ``corpus_fp`` against
+    the same fingerprint recomputed from its registered view.
+    Interleaved runs at different scale factors (e.g. plan_report at
+    sf0.001 between a check_oracle entry and its oracle at sf0.01) can
+    no longer pair an oracle with another corpus's dump.
+
+    ``SPARK_GRAFT_ANN_SKIP_DUMP=1`` bypasses the write+read-back and
+    returns ``df`` unchanged — set by bench.py (round-4 verdict: the
+    dump parquet round-trip is oracle plumbing, not operator cost, and
+    inflated ann_lsh_topk by ~36% in BENCH_r04) and by plan_report
+    (plan inspection must not write). No oracle runs against those
+    invocations, so skipping is safe there and only there."""
+    if os.environ.get("SPARK_GRAFT_ANN_SKIP_DUMP"):
+        return df
+    path = os.path.join(
+        _ANN_DUMPS, os.path.basename(os.path.normpath(sf_dir)), name
+    )
+    df.withColumn("corpus_fp", F.lit(int(corpus_fp)).cast("long")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return df.sparkSession.read.parquet(path).drop("corpus_fp")
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -585,13 +636,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = lsh_topk(
         queries, emb, dim=64, k=5, n_planes=4, n_tables=8, multiprobe=True
     )
-    dump = _dump_ann(
-        approx.select("query_id", "neighbor_id"), "ann_lsh_topk"
+    found = _dump_ann(
+        approx.select("query_id", "neighbor_id"), "ann_lsh_topk",
+        sf_dir, _corpus_fp(emb),
     )
     exact = brute_force_topk(queries, emb, k=5)
-    return recall_at_k(
-        spark.read.parquet(dump), exact, floor=0.6, mean_floor=0.9
-    )
+    return recall_at_k(found, exact, floor=0.6, mean_floor=0.9)
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -619,13 +669,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     approx = ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=8)
-    dump = _dump_ann(
-        approx.select("query_id", "neighbor_id"), "ann_ivf_topk"
+    found = _dump_ann(
+        approx.select("query_id", "neighbor_id"), "ann_ivf_topk",
+        sf_dir, _corpus_fp(emb),
     )
     exact = brute_force_topk(queries, emb, k=5)
-    return recall_at_k(
-        spark.read.parquet(dump), exact, floor=0.2, mean_floor=0.6
-    )
+    return recall_at_k(found, exact, floor=0.2, mean_floor=0.6)
 
 
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,13 +693,12 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from studiocr_spark.operators.textstats import round6
 
     emb = _t(spark, sf_dir, "embeddings")
-    dump = _dump_ann(
+    found = _dump_ann(
         nd(emb, dim=64, threshold=0.35, n_planes=4, n_tables=16).select(
             "vec_a", "vec_b"
         ),
-        "embedding_near_dups",
+        "embedding_near_dups", sf_dir, _corpus_fp(emb),
     )
-    found = spark.read.parquet(dump)
     truth = exact_near_dup_pairs(emb, threshold=0.35, vectorized=False)
     # lazy: aggregate both sides, cross-join the two 1-row frames
     # (count the truth-intersection rather than trusting precision == 1)
@@ -1177,7 +1225,26 @@ def extract_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Gate entries, in DRIVER-SAMPLING ROTATION order.
+
+    The driver's correctness gate checks the FIRST ~50 entries of this
+    dict; with more entries than that, dict order decides which get an
+    independent driver row this round. Protocol (round-4 verdict task):
+    lead with the least-recently-driver-checked entries — i.e. any
+    brand-new entry plus whatever fell past the cap last round — and
+    rotate each round so full coverage accrues across rounds. The tail
+    is therefore always the entries with the freshest driver rows.
+    """
     return {
+        # -- never driver-checked (skipped in r4) — lead this round
+        "boilerplate_strip": boilerplate_strip,
+        "decontaminate_corpus": decontaminate_corpus,
+        "extract_blocks": extract_blocks,
+        "extract_page_stats": extract_page_stats,
+        "pii_redaction": pii_redaction,
+        "repetition_scores": repetition_scores,
+        "stream_window_counts": stream_window_counts,
+        # -- checked in r4, oldest-first thereafter
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_supplier_volume": q5_supplier_volume,
@@ -1228,13 +1295,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": gopher_quality,
         "line_dedup": line_dedup,
         "domain_stats": domain_stats,
-        "decontaminate_corpus": decontaminate_corpus,
-        "repetition_scores": repetition_scores,
-        "pii_redaction": pii_redaction,
-        "boilerplate_strip": boilerplate_strip,
-        "stream_window_counts": stream_window_counts,
-        "extract_blocks": extract_blocks,
-        "extract_page_stats": extract_page_stats,
     }
 
 
@@ -1620,8 +1680,11 @@ def oracle_sql() -> dict[str, str]:
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])) >= 0.35
             ), found AS (
+              -- dumps are namespaced per sf dir; the corpus_fp stamp
+              -- pairs this oracle with the dump from ITS corpus
               SELECT DISTINCT vec_a, vec_b
-              FROM read_parquet('{os.path.join(_ANN_DUMPS, "embedding_near_dups")}/*.parquet')
+              FROM read_parquet('{os.path.join(_ANN_DUMPS, "*", "embedding_near_dups")}/*.parquet')
+              WHERE corpus_fp = ({_CORPUS_FP_SQL})
             ), f AS (
               SELECT CAST(count(*) AS BIGINT) AS n_found
               FROM found JOIN truth USING (vec_a, vec_b)
@@ -1826,7 +1889,8 @@ def oracle_sql() -> dict[str, str]:
                 regexp_extract(url,
                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
                   AS path0,
-                regexp_extract(url, '\?([^#]*)', 1) AS query
+                regexp_extract(regexp_replace(url, '#[\s\S]*', ''),
+                  '\?([^#]*)', 1) AS query
               FROM u
             ), c AS (
               SELECT doc_id,
@@ -2067,8 +2131,12 @@ def _ann_recall_oracle(
     exact top-5 per query recomputed from embeddings (same ranking +
     tie-break as brute_force_topk / the ann_cosine_topk oracle), joined
     against the dump, then per-query recall + micro mean + floors —
-    mirroring operators.similarity.recall_at_k column for column."""
-    dump = os.path.join(_ANN_DUMPS, name)
+    mirroring operators.similarity.recall_at_k column for column.
+
+    The dump glob spans every sf-dir namespace; the ``corpus_fp``
+    content stamp (see _corpus_fp) selects the dump written from THIS
+    corpus (round-5 ADVICE fix)."""
+    dump = os.path.join(_ANN_DUMPS, "*", name)
     return f"""
         WITH scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -2088,6 +2156,7 @@ def _ann_recall_oracle(
         ), approx AS (
           SELECT DISTINCT query_id, neighbor_id
           FROM read_parquet('{dump}/*.parquet')
+          WHERE corpus_fp = ({_CORPUS_FP_SQL})
         ), per_q AS (
           SELECT e.query_id,
                  CAST(count(*) AS BIGINT) AS n_exact,

@@ -100,19 +100,34 @@ def _prev_round() -> tuple[str, dict] | None:
     return os.path.basename(best[1]), obj.get("parsed", obj)
 
 
-def _deltas(timings: dict[str, float], threshold: float = 1.5) -> dict | None:
+def _deltas(
+    timings: dict[str, float],
+    threshold: float = 1.5,
+    extract: dict[str, float] | None = None,
+) -> dict | None:
     """Regression guard (round-4): compare against the previous round's
     committed bench JSON and flag any query > ``threshold`` x slower at
     RUN time — so a q5-style +17% drift is visible in the run output,
-    not discovered at judging."""
+    not discovered at judging.
+
+    Round-5: the guard also watches the EXTRACT protocol times
+    (``extract.sec`` / ``extract.pipeline_sec``) — the project's
+    headline metric. BENCH_r04's extract halving (8,562 -> 4,073
+    docs/s) sailed through the query-only guard unflagged."""
     prev = _prev_round()
     if prev is None:
         return None
     name, parsed = prev
-    pq = parsed.get("queries", {})
+    pq = dict(parsed.get("queries", {}))
+    watched = dict(timings)
+    prev_extract = parsed.get("extract", {})
+    for key in ("sec", "pipeline_sec"):
+        if extract and extract.get(key) and prev_extract.get(key):
+            pq[f"extract.{key}"] = prev_extract[key]
+            watched[f"extract.{key}"] = extract[key]
     regressions: dict[str, dict] = {}
     improvements: dict[str, dict] = {}
-    for q, sec in timings.items():
+    for q, sec in watched.items():
         old = pq.get(q)
         if not old:
             continue
@@ -137,6 +152,13 @@ def _deltas(timings: dict[str, float], threshold: float = 1.5) -> dict | None:
 
 
 def main() -> None:
+    # The ANN entries' dump write+read-back is DuckDB-oracle plumbing,
+    # not operator cost (it inflated ann_lsh_topk ~36% in BENCH_r04);
+    # no oracle runs against bench invocations, so skip it here. The
+    # r04 -> r05 ann_* deltas therefore include a one-time ~0.3-0.6 s
+    # drop from shedding that I/O, on top of any operator change.
+    os.environ["SPARK_GRAFT_ANN_SKIP_DUMP"] = "1"
+
     import __spark_entry__ as entry
 
     from studiocr_spark.gen import write_pages
@@ -255,7 +277,11 @@ def main() -> None:
                         EXTRACT_DOCS / pipeline_sec, 2
                     ),
                 },
-                "deltas": _deltas(timings),
+                "deltas": _deltas(
+                    timings,
+                    extract={"sec": round(extract_sec, 3),
+                             "pipeline_sec": pipeline_sec},
+                ),
             }
         )
     )

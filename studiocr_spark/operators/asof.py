@@ -52,10 +52,13 @@ def asof_join(
     left[on]``; nulls when no such row exists.
 
     ``dedup_right="max_by"`` (default) first collapses right rows that
-    tie on (``by``, ``on``) to the one maximizing ``tie_break`` (the
-    first right_cols column if unset) so the carry is deterministic
-    regardless of partition order; pass ``dedup_right=None`` to skip
-    the pre-aggregate when the right side is unique by construction."""
+    tie on (``by``, ``on``) to the one maximizing (``tie_break``, then
+    the remaining payload columns — a total order, so the carry is
+    deterministic regardless of partition order; fully identical rows
+    are interchangeable by definition). ``tie_break`` defaults to the
+    first right_cols column. Payload columns must be orderable types
+    for this mode (no maps); pass ``dedup_right=None`` to skip the
+    pre-aggregate when the right side is unique by construction."""
     if right_cols is None:
         right_cols = [
             c for c in right.columns if c not in (on, by)
@@ -70,20 +73,34 @@ def asof_join(
             raise ValueError(
                 f"dedup_right must be 'max_by' or None, got {dedup_right!r}"
             )
+        if not right_cols:
+            raise ValueError(
+                "asof_join with dedup_right='max_by' needs at least one "
+                "right payload column beyond (on, by) — pass right_cols "
+                "or dedup_right=None (a payload-free right side has "
+                "nothing to carry, and nothing to tie-break on)"
+            )
         tb = tie_break if tie_break is not None else right_cols[0]
-        # one whole-row struct per (key, ts): max_by on the tie-break
-        # column — partial-agg-friendly (map-side combine collapses
-        # ties before the (key, ts) exchange). The ordering value is
-        # wrapped in a single-field struct: max_by IGNORES rows whose
-        # ordering value is NULL, which would silently drop a (key, ts)
-        # whose only row carries a null tie-break — a struct with a
-        # null field is never null itself (null field sorts lowest).
+        # one whole-row struct per (key, ts): max_by on a TOTAL order —
+        # partial-agg-friendly (map-side combine collapses ties before
+        # the (key, ts) exchange). The ordering struct leads with the
+        # tie-break, then every remaining payload column (round-5
+        # ADVICE fix: ordering by tie_break alone left rows that ALSO
+        # tie on it resolved partition-order-dependently; the full
+        # struct is a total order over the carried payload, so the
+        # winner is unique whenever the payloads differ at all). The
+        # ordering values sit inside a struct because max_by IGNORES
+        # rows whose ordering value is NULL, which would silently drop
+        # a (key, ts) whose only row carries a null tie-break — a
+        # struct with null fields is never null itself (null fields
+        # sort lowest).
+        order_cols = [tb] + [c for c in right_cols if c != tb]
         picked = (
             right.groupBy(by, on)
             .agg(
                 F.max_by(
                     F.struct(*[F.col(c) for c in right_cols]),
-                    F.struct(F.col(tb)),
+                    F.struct(*[F.col(c) for c in order_cols]),
                 ).alias("_row")
             )
         )

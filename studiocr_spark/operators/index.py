@@ -132,28 +132,59 @@ def segments_writer_lock(root: str):
     read-merge-publish) is only safe with ONE writer — two concurrent
     publishers can lose a segment. O_CREAT|O_EXCL on a lock file beside
     SEGMENTS enforces it; a second writer fails fast with the holder's
-    pid/age instead of silently corrupting the manifest. Crash recovery
-    is manual by design (delete the lock after confirming the holder is
-    dead) — the same operational contract as a Lucene write.lock."""
+    pid/age instead of silently corrupting the manifest.
+
+    Crash recovery (round-5 ADVICE fix): a holder killed between
+    ``os.open`` and the ``finally`` (kill -9, OOM) used to leave a
+    permanent stale lock that hard-failed every later build/compact
+    until manual cleanup. The lock records the holder's pid; on
+    FileExistsError we probe it with ``kill(pid, 0)`` and reclaim the
+    lock when that pid is gone. Live holders (or unparseable locks —
+    e.g. written by another machine, where a pid probe is meaningless)
+    still fail fast, same contract as a Lucene write.lock."""
     import os
+    import re
     import time
 
     os.makedirs(root, exist_ok=True)
     lock = os.path.join(root, LOCK_FILE)
-    try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
+    fd = None
+    for attempt in range(2):
         try:
-            with open(lock) as f:
-                holder = f.read().strip()
-            age = time.time() - os.path.getmtime(lock)
-        except OSError:  # racing holder released between open and stat
-            holder, age = "?", 0.0
-        raise RuntimeError(
-            f"segments writer lock held ({lock}: {holder}, age "
-            f"{age:.0f}s) — single-writer protocol; remove the lock "
-            f"file only after confirming that writer is dead"
-        )
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                with open(lock) as f:
+                    holder = f.read().strip()
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:  # racing holder released between open and stat
+                continue  # retry the O_EXCL create
+            m = re.match(r"pid=(\d+)\b", holder)
+            holder_dead = False
+            if m:
+                try:
+                    os.kill(int(m.group(1)), 0)
+                except ProcessLookupError:
+                    holder_dead = True
+                except PermissionError:
+                    pass  # alive, owned by someone else
+            if holder_dead and attempt == 0:
+                # Reclaim: remove the dead holder's lock, then retry the
+                # exclusive create (a concurrent reclaimer may win it).
+                try:
+                    os.unlink(lock)
+                except FileNotFoundError:
+                    pass
+                continue
+            raise RuntimeError(
+                f"segments writer lock held ({lock}: {holder}, age "
+                f"{age:.0f}s) — single-writer protocol; the holder pid "
+                f"is alive (or unverifiable): remove the lock file only "
+                f"after confirming that writer is dead"
+            )
+    if fd is None:  # pragma: no cover — two straight stat races
+        raise RuntimeError(f"could not acquire segments writer lock {lock}")
     try:
         os.write(fd, f"pid={os.getpid()} t={time.time():.0f}\n".encode())
         os.close(fd)
@@ -163,14 +194,28 @@ def segments_writer_lock(root: str):
 
 
 def _publish_segments(root: str, segments: list[str]) -> None:
+    """Atomically replace the SEGMENTS manifest.
+
+    Segments dropped by this publish (live before, unlisted after —
+    i.e. compaction victims) get their dir mtime touched to NOW, so
+    :func:`vacuum_segments`' age gate measures time-since-UNLISTING,
+    not time-since-creation (round-5 ADVICE fix: an hour-old segment
+    replaced seconds ago must survive the grace window for in-flight
+    readers holding the previous manifest)."""
     import os
     import uuid
 
     os.makedirs(root, exist_ok=True)
+    previously_live = set(list_segments(root))
     tmp = os.path.join(root, f".SEGMENTS.{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         f.write("\n".join(segments) + "\n")
     os.replace(tmp, os.path.join(root, SEGMENTS_FILE))  # atomic commit
+    for seg in previously_live - set(segments):
+        try:
+            os.utime(os.path.join(root, seg))  # stamp the unlist time
+        except OSError:
+            pass  # already gone — nothing for vacuum to age-gate
 
 
 def _write_coverage(root: str, seg: str, buckets: list[int] | str) -> None:
@@ -294,8 +339,14 @@ def vacuum_segments(root: str, min_age_seconds: float = 3600.0) -> int:
     The age floor (round-4 ADVICE fix) is what makes "old dirs are left
     for in-flight readers" true: an immediate vacuum after compaction
     deleted dirs a reader holding the previous SEGMENTS was still
-    scanning. Run vacuum on a delay/schedule; ``min_age_seconds=0``
-    restores the immediate behavior for tests and teardown."""
+    scanning. The clock starts at UNLISTING, not creation —
+    :func:`_publish_segments` touches each dir it drops from the
+    manifest (round-5 ADVICE fix), so a segment that lived for a day
+    and was compacted away a minute ago still gets the full grace
+    window. Never-published dirs (crash mid-write) age from their
+    last write, which is the correct bound for them. Run vacuum on a
+    delay/schedule; ``min_age_seconds=0`` restores the immediate
+    behavior for tests and teardown."""
     import os
     import shutil
     import time

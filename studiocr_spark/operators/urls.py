@@ -54,7 +54,14 @@ def canonicalize_url(url: Column) -> Column:
     ).otherwise(hostport)
     path = F.regexp_extract(url, _PATH_RE, 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(url, _QUERY_RE, 1)
+    # Extract the query from the PRE-FRAGMENT substring only (round-5
+    # ADVICE fix): applying \?([^#]*) to the whole URL matched the first
+    # '?' even when it sat inside the fragment ('http://h/p#sec?x=1'
+    # wrongly canonicalized to 'http://h/p?x=1'). [\s\S] spells
+    # match-anything identically in Java and RE2, so the DuckDB oracle
+    # mirrors this byte-for-byte.
+    pre_fragment = F.regexp_replace(url, r"#[\s\S]*", "")
+    query = F.regexp_extract(pre_fragment, _QUERY_RE, 1)
     kept = F.array_join(
         F.array_sort(
             F.filter(

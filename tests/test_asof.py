@@ -110,6 +110,36 @@ def test_asof_dedup_right_breaks_ties_deterministically(spark):
     assert got == {"a": None, "b": 100.0, "c": 150.0, "d": 490.0, "e": None}
 
 
+def test_asof_dedup_right_total_order_on_tiebreak_ties(spark):
+    """Round-5 ADVICE fix: right rows that tie on (key, ts, tie_break)
+    too must still resolve deterministically — the max_by ordering is
+    the full payload struct (a total order), not tie_break alone."""
+    left = spark.createDataFrame(
+        [(1, 20, "x")], "user_id long, ts long, tag string"
+    )
+    # all 40 rows share v=7.0 (the default tie-break); src differs
+    dup = spark.createDataFrame(
+        [(1, 10, 7.0, f"r{i:02d}") for i in range(40)],
+        "user_id long, ts long, v double, src string",
+    ).repartition(50)
+    rows = {
+        asof_join(left, dup, on="ts", by="user_id").first().asof_src
+        for _ in range(3)
+    }
+    assert rows == {"r39"}  # max over (v, src): lexicographic max src
+
+
+def test_asof_dedup_right_requires_payload_columns(spark):
+    """A right side with no columns beyond (on, by) used to IndexError
+    on right_cols[0]; now it raises a clear ValueError."""
+    import pytest
+
+    left = spark.createDataFrame([(1, 20)], "user_id long, ts long")
+    bare = spark.createDataFrame([(1, 10)], "user_id long, ts long")
+    with pytest.raises(ValueError, match="right payload column"):
+        asof_join(left, bare, on="ts", by="user_id")
+
+
 def test_range_join_semantics(spark):
     """Half-open [start, end); multi-bucket intervals; each qualifying
     pair appears exactly once (a point has one bucket)."""

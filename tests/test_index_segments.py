@@ -140,6 +140,69 @@ def test_segment_coverage_and_writer_lock(spark, extracted, tmp_path):
     assert segment_coverage(root2) == {9}
 
 
+def test_stale_writer_lock_from_dead_pid_is_reclaimed(tmp_path):
+    """Round-5 ADVICE fix: a holder killed between lock-create and
+    release (kill -9 / OOM) leaves a lock naming a dead pid — later
+    writers reclaim it instead of hard-failing forever. Live or
+    unparseable holders still fail fast."""
+    import os
+
+    import pytest
+
+    from studiocr_spark.operators.index import LOCK_FILE, segments_writer_lock
+
+    root = str(tmp_path / "stale")
+    os.makedirs(root)
+    lock = os.path.join(root, LOCK_FILE)
+    # fabricate a crash artifact: a lock naming a pid that cannot exist
+    with open(lock, "w") as f:
+        f.write("pid=999999999 t=0\n")
+    with segments_writer_lock(root):  # reclaims, no RuntimeError
+        assert os.path.exists(lock)
+    assert not os.path.exists(lock)
+    # an unparseable lock (e.g. from another machine) still fails fast
+    with open(lock, "w") as f:
+        f.write("host=elsewhere\n")
+    with pytest.raises(RuntimeError, match="writer lock held"):
+        with segments_writer_lock(root):
+            pass
+    os.unlink(lock)
+    # a LIVE holder pid still fails fast
+    with open(lock, "w") as f:
+        f.write(f"pid={os.getpid()} t=0\n")
+    with pytest.raises(RuntimeError, match="writer lock held"):
+        with segments_writer_lock(root):
+            pass
+
+
+def test_vacuum_ages_from_unlisting_not_creation(spark, extracted, tmp_path):
+    """Round-5 ADVICE fix (medium): the vacuum grace window must start
+    when a segment is UNLISTED, not when it was created — an hour-old
+    segment replaced by compaction seconds ago is exactly the dir an
+    in-flight reader may still be scanning."""
+    import os
+    import time
+
+    from studiocr_spark.operators.index import vacuum_segments
+
+    _, _, ocr_blocks = extracted
+    p = build_postings(ocr_blocks)
+    root = str(tmp_path / "age")
+    seg = write_postings_segment(p.limit(5), root, term_buckets=2)
+    # backdate the segment dir: created 2h ago
+    old = time.time() - 7200
+    os.utime(os.path.join(root, seg), (old, old))
+    # compaction unlists it NOW; _publish_segments stamps the unlist time
+    compact_postings(spark, root, term_buckets=2)
+    assert seg not in list_segments(root)
+    # a 1h grace window must keep the just-unlisted dir...
+    assert vacuum_segments(root, min_age_seconds=3600) == 0
+    assert os.path.isdir(os.path.join(root, seg))
+    # ...and min_age=0 still removes it for teardown
+    assert vacuum_segments(root, min_age_seconds=0) == 1
+    assert not os.path.isdir(os.path.join(root, seg))
+
+
 def test_build_index_reconciles_coverage_gaps(spark, tmp_path):
     """Round-4 ADVICE (medium) fix end-to-end: --build-index indexes
     every manifest-complete bucket NOT covered by a live segment — the

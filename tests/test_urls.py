@@ -18,6 +18,10 @@ CASES = [
     ("http://example.com/p?gclid=1&z=9&a=0", "http://example.com/p?a=0&z=9"),
     # path case is PRESERVED (paths are case-sensitive; hosts are not)
     ("http://Example.com/CaseSensitive", "http://example.com/CaseSensitive"),
+    # '?' INSIDE the fragment is not a query (round-5 ADVICE fix: the
+    # query must come from the pre-fragment substring only)
+    ("http://h.com/p#sec?x=1", "http://h.com/p"),
+    ("http://h.com/p?a=1#sec?x=2", "http://h.com/p?a=1"),
     # non-URL rows pass through untouched
     ("not a url at all", "not a url at all"),
     ("", ""),

@@ -24,6 +24,12 @@ sys.path.insert(0, REPO)
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
+    # plan inspection must not execute the ANN entries' oracle-dump
+    # writes (round-5 ADVICE: an eager dump here could interleave with
+    # a concurrent check_oracle run) — and the skipped variant has the
+    # same physical plan for the operator under inspection
+    os.environ["SPARK_GRAFT_ANN_SKIP_DUMP"] = "1"
+
     import __spark_entry__ as entry
     from studiocr_spark.plans.explain import (
         formatted_plan,
