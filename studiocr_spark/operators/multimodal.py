@@ -15,10 +15,13 @@ all processing runs in Arrow-batched ``mapInPandas`` UDFs.
   by importorskip tests); the native tier handles the sandbox's 8-bit
   grayscale PNG / MPDF payloads with zero deps, so the real pixel path
   executes and is pixel-tested HERE, not just stubbed.
-- STILL STUBBED: the vision-model embedding (``codec=None`` in
-  :func:`extract_features`) — gated behind ``NotImplementedError`` with
-  a deterministic md5-fake escape hatch (``allow_fake=True``). The UDF
-  signatures and output schemas are the production contract.
+- Embedding tier (round-5): ``codec=None`` in :func:`extract_features`
+  is REAL by default — a seeded Gaussian random projection of the
+  intensity histogram (classical random-features embedding), executable
+  with zero extra deps. Only the true vision-MODEL path
+  (``codec="model"``) stays gated behind ``NotImplementedError`` with
+  the deterministic md5-fake escape hatch (``allow_fake=True``); the
+  UDF signatures and output schemas are the production contract.
 """
 
 from __future__ import annotations
@@ -226,37 +229,62 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+PROJECTION_BINS = 32  # histogram resolution feeding the projection
+
+
+def projection_matrix(
+    dim: int, bins: int = PROJECTION_BINS, seed: int = 421
+) -> np.ndarray:
+    """Deterministic ``bins x dim`` Gaussian projection (random-features
+    embedding, Rahimi & Recht 2007 / Johnson-Lindenstrauss). PCG64 with
+    a fixed seed is stream-stable across platforms by NumPy policy, so
+    every executor materializes the identical matrix — no broadcast
+    needed for a few-KB constant."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bins, dim)).astype(np.float32)
+
+
 def extract_features(
     df: DataFrame,
     dim: int = 8,
     allow_fake: bool = False,
     codec: str | None = "auto",
+    seed: int = 421,
     url_col: str = "url",
     bin_col: str = "html",
 ) -> DataFrame:
     """Image feature extraction (embedding per payload).
 
-    With a pixel ``codec`` (default tiered cv2 -> PIL -> native): a REAL
-    classical feature — the L1-normalized ``dim``-bin intensity
-    histogram of the decoded first frame; undecodable payloads emit a
-    null feature (quarantine-style, like media_metadata).
-
-    ``codec=None`` models the production vision-model path, which is
-    absent here: it raises NotImplementedError at plan time unless
-    ``allow_fake=True``, which emits the deterministic md5-derived
-    pseudo-embedding (the Spark plumbing is the tested artifact).
+    - Pixel ``codec`` (default tiered cv2 -> PIL -> native): a REAL
+      classical feature — the L1-normalized ``dim``-bin intensity
+      histogram of the decoded first frame; undecodable payloads emit a
+      null feature (quarantine-style, like media_metadata).
+    - ``codec=None`` — the default EMBEDDING tier, real and executable
+      with zero extra deps (round-4 verdict task 5): the
+      ``PROJECTION_BINS``-bin intensity histogram projected through the
+      seeded Gaussian :func:`projection_matrix`, L2-normalized — a
+      classical random-features image embedding with the same schema,
+      determinism, and null-propagation contract as a model embedding.
+      Pixels come from the tiered codec; no ``allow_fake`` needed.
+    - ``codec="model"`` — the true vision-model path, absent in this
+      container: raises NotImplementedError at plan time unless
+      ``allow_fake=True``, which emits the deterministic md5-derived
+      pseudo-embedding (the Spark plumbing is the tested artifact).
     """
-    if codec is None:
+    mode = "model" if codec == "model" else ("project" if codec is None else "hist")
+    if mode == "model":
         if not allow_fake:
             raise NotImplementedError(
-                "codec=None is the vision-model embedding path (model "
-                "absent in this container); pass allow_fake=True for "
-                "the deterministic stub or a pixel codec for histogram "
-                "features"
+                "codec='model' is the vision-model embedding path (model "
+                "weights absent in this container); pass allow_fake=True "
+                "for the deterministic stub, codec=None for the real "
+                "random-projection embedding, or a pixel codec for "
+                "histogram features"
             )
         decode = None
     else:
-        _, decode, _ = pixel_codec(codec)
+        _, decode, _ = pixel_codec("auto" if codec is None else codec)
+    proj = projection_matrix(dim, seed=seed) if mode == "project" else None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -266,7 +294,7 @@ def extract_features(
                     rows.append({"url": url, "feature": None})
                     continue
                 b = bytes(data)
-                if decode is None:
+                if decode is None:  # gated md5 stub (allow_fake)
                     digest = hashlib.md5(b).digest()
                     vec = (
                         np.frombuffer(
@@ -281,11 +309,18 @@ def extract_features(
                 if img is None:
                     rows.append({"url": url, "feature": None})
                     continue
+                bins = PROJECTION_BINS if proj is not None else dim
                 hist = np.bincount(
-                    ((img.astype(np.int64) * dim) // 256).ravel(),
-                    minlength=dim,
+                    ((img.astype(np.int64) * bins) // 256).ravel(),
+                    minlength=bins,
                 ).astype(np.float64)
                 vec = (hist / max(img.size, 1)).astype(np.float32)
+                if proj is not None:
+                    emb = vec @ proj
+                    norm = float(np.linalg.norm(emb))
+                    if norm > 0:
+                        emb = emb / np.float32(norm)
+                    vec = emb.astype(np.float32)
                 rows.append({"url": url, "feature": vec.tolist()})
             yield pd.DataFrame(rows, columns=FEATURE_SCHEMA.fieldNames())
 

@@ -52,11 +52,13 @@ def test_sample_frames(media_df):
 
 
 def test_extract_features_vision_stub_gating(media_df):
-    """codec=None models the absent vision-model path: hard gate plus
-    the deterministic md5-fake escape hatch."""
+    """codec='model' models the absent vision-model path: hard gate
+    plus the deterministic md5-fake escape hatch."""
     with pytest.raises(NotImplementedError):
-        extract_features(media_df, codec=None)  # model absent, no fake
-    feats = extract_features(media_df, dim=8, allow_fake=True, codec=None)
+        extract_features(media_df, codec="model")  # model absent, no fake
+    feats = extract_features(
+        media_df, dim=8, allow_fake=True, codec="model"
+    )
     rows = {r.url: r.feature for r in feats.collect()}
     assert rows["u_null"] is None
     assert len(rows["u_png"]) == 8
@@ -65,10 +67,60 @@ def test_extract_features_vision_stub_gating(media_df):
     again = {
         r.url: r.feature
         for r in extract_features(
-            media_df, dim=8, allow_fake=True, codec=None
+            media_df, dim=8, allow_fake=True, codec="model"
         ).collect()
     }
     assert again == rows
+
+
+def test_extract_features_projection_embedding_default(media_df):
+    """Round-5 (verdict task 5): codec=None is the REAL default
+    embedding tier — seeded Gaussian projection of the 32-bin intensity
+    histogram, L2-normalized — no allow_fake needed. Checked against a
+    pure-numpy recomputation from the decoded pixels."""
+    import numpy as np
+
+    from studiocr_spark.operators.multimodal import (
+        PROJECTION_BINS,
+        projection_matrix,
+    )
+
+    feats = {
+        r.url: r.feature
+        for r in extract_features(media_df, dim=16, codec=None).collect()
+    }
+    assert feats["u_null"] is None
+    assert feats["u_bad"] is None  # undecodable -> null, not crash
+    img = decode_png(render_page("hello world"))
+    hist = np.bincount(
+        ((img.astype(np.int64) * PROJECTION_BINS) // 256).ravel(),
+        minlength=PROJECTION_BINS,
+    ).astype(np.float64)
+    vec = (hist / img.size).astype(np.float32)
+    emb = vec @ projection_matrix(16)
+    emb = (emb / np.float32(np.linalg.norm(emb))).astype(np.float32)
+    got = np.array(feats["u_png"], dtype=np.float32)
+    assert got.shape == (16,)
+    assert np.allclose(got, emb, atol=1e-6)
+    assert abs(float(np.linalg.norm(got)) - 1.0) < 1e-5  # unit norm
+    # deterministic across plans (fixed seed, platform-stable PCG64)
+    again = {
+        r.url: r.feature
+        for r in extract_features(media_df, dim=16, codec=None).collect()
+    }
+    assert again == feats
+    # mpdf embeds its FIRST frame — same pixels as u_png here
+    assert feats["u_mpdf"] == feats["u_png"]
+    # different content -> different direction (identical embeddings
+    # for different histograms would mean a collapsed map)
+    img2 = decode_png(render_page("short"))
+    h2 = np.bincount(
+        ((img2.astype(np.int64) * PROJECTION_BINS) // 256).ravel(),
+        minlength=PROJECTION_BINS,
+    ).astype(np.float64)
+    v2 = (h2 / img2.size).astype(np.float32) @ projection_matrix(16)
+    v2 = v2 / np.float32(np.linalg.norm(v2))
+    assert float(np.dot(got, v2)) < 1.0 - 1e-6
 
 
 def test_extract_features_real_histogram(media_df):
