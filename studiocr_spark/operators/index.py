@@ -71,7 +71,39 @@ def build_inverted_index(
     )
 
 
-def write_postings(postings: DataFrame, path: str, term_buckets: int = 64) -> None:
+def build_term_stats(postings: DataFrame) -> DataFrame:
+    """(term, url, tf): per-document term frequencies — the BM25 serving
+    table, aggregated ONCE at index-build time so query plans skip the
+    corpus-wide groupBy (round-4 verdict task 6)."""
+    return postings.groupBy("term", "url").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+
+
+def build_doc_lens(postings: DataFrame) -> DataFrame:
+    """(url, dl): document lengths in tokens — BM25's normalizer,
+    aggregated once at index-build time."""
+    return postings.groupBy("url").agg(F.count("*").cast("long").alias("dl"))
+
+
+# aux datasets live INSIDE the segment dir under an _-prefixed subdir:
+# Spark/Hadoop scans of the segment root skip _-paths (same convention
+# as _SUCCESS), so the postings scan never sees them, while a direct
+# read of the subdir works. Extract buckets partition urls disjointly
+# across segments, so (term, url) and (url) rows never split across
+# segments — the union of per-segment aux tables IS the corpus table,
+# no re-aggregation on read.
+AUX_DIR = "_aux"
+TERM_STATS = "term_stats"
+DOC_LENS = "doc_lens"
+
+
+def write_postings(
+    postings: DataFrame,
+    path: str,
+    term_buckets: int = 64,
+    with_bm25_stats: bool = True,
+) -> None:
     """Persist the postings table partition-clustered by term hash.
 
     Parquet fallback for the sandbox; production DDL (Iceberg) is
@@ -79,7 +111,14 @@ def write_postings(postings: DataFrame, path: str, term_buckets: int = 64) -> No
     storage-partitioned (shuffle-free). We emulate with repartition on a
     term-hash bucket column so files are term-clustered and min/max
     stats prune scans.
+
+    ``with_bm25_stats`` also materializes the ranked-retrieval serving
+    tables (:func:`build_term_stats`, :func:`build_doc_lens`) under
+    ``path/_aux/`` — paying the two corpus aggregations once per build
+    instead of once per query.
     """
+    import os
+
     (
         postings.withColumn(
             "term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets))
@@ -89,6 +128,19 @@ def write_postings(postings: DataFrame, path: str, term_buckets: int = 64) -> No
         .write.mode("overwrite")
         .parquet(path)
     )
+    if with_bm25_stats:
+        # term-clustered like the postings themselves, so a query's
+        # pushed IN(term, ...) filter prunes row groups by min/max
+        (
+            build_term_stats(postings)
+            .repartition(term_buckets, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, AUX_DIR, TERM_STATS))
+        )
+        build_doc_lens(postings).write.mode("overwrite").parquet(
+            os.path.join(path, AUX_DIR, DOC_LENS)
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -298,6 +350,38 @@ def read_postings(spark, root: str) -> DataFrame:
     if not segs:
         return spark.read.parquet(root)
     return spark.read.parquet(*[os.path.join(root, s) for s in segs])
+
+
+def _read_aux(spark, root: str, which: str) -> DataFrame | None:
+    """Union of one aux dataset across live segments; ``None`` when any
+    live segment predates aux materialization (callers fall back to
+    recomputing from postings — correctness never depends on aux)."""
+    import os
+
+    segs = list_segments(root)
+    dirs = [root] if not segs else [os.path.join(root, s) for s in segs]
+    paths = [os.path.join(d, AUX_DIR, which) for d in dirs]
+    if not all(os.path.exists(p) for p in paths):
+        return None
+    return spark.read.parquet(*paths)
+
+
+def read_term_stats(spark, root: str) -> DataFrame:
+    """(term, url, tf) for the live index — materialized when the store
+    has it, recomputed from postings otherwise."""
+    aux = _read_aux(spark, root, TERM_STATS)
+    if aux is not None:
+        return aux
+    return build_term_stats(read_postings(spark, root))
+
+
+def read_doc_lens(spark, root: str) -> DataFrame:
+    """(url, dl) for the live index — materialized when the store has
+    it, recomputed from postings otherwise."""
+    aux = _read_aux(spark, root, DOC_LENS)
+    if aux is not None:
+        return aux
+    return build_doc_lens(read_postings(spark, root))
 
 
 def compact_postings(spark, root: str, term_buckets: int = 64) -> str:

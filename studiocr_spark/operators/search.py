@@ -184,11 +184,13 @@ def matched_page_navigation(
 
 
 def bm25_search(
-    postings: DataFrame,
+    postings: DataFrame | None,
     query: str,
     k1: float = 1.2,
     b: float = 0.75,
     limit: int | None = None,
+    term_stats: DataFrame | None = None,
+    doc_lens: DataFrame | None = None,
 ) -> DataFrame:
     """Ranked retrieval over the inverted index: BM25 (Robertson/Spärck
     Jones — public formula), token-match semantics.
@@ -196,25 +198,59 @@ def bm25_search(
     score(d) = Σ_t idf(t) * tf / (tf + k1 * (1 - b + b * len_d / avg_len))
     with idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)).
 
-    One aggregation over the postings restricted to query terms (equi-
-    join on term — broadcast of the tiny term list), plus a 1-row corpus
-    stats broadcast and a tiny per-term df broadcast. Doc lengths are a
-    per-url aggregate of the WHOLE postings corpus, so they are NEVER
-    broadcast-hinted: at 10^9 docs that would be a multi-GB driver
-    broadcast. The tf⋈doc_len join stays a shuffle equi-join on url
-    (both sides already hash-partition on url; AQE may still downgrade
-    it to a broadcast at runtime when the corpus is genuinely small).
-    Deterministic tie-break by url.
+    Two serving shapes (round-4 verdict task 6):
+
+    - ``term_stats`` (term, url, tf) + ``doc_lens`` (url, dl) given —
+      the MATERIALIZED path: both corpus aggregations were paid at
+      index-build time (operators.index.write_postings writes them to
+      the segment store; read_term_stats/read_doc_lens load them), so
+      the query plan is filter-by-term -> df_t mini-agg -> one url
+      equi-join -> final per-url sum. ``postings`` may be None.
+    - Only ``postings`` given — everything derived in-plan (ad-hoc
+      corpora, tests): tf and dl each cost a corpus aggregation per
+      query.
+
+    Query terms enter as a broadcast list; per-term df is a tiny
+    broadcast. Doc lengths are a per-url aggregate of the WHOLE corpus,
+    so they are NEVER broadcast-hinted: at 10^9 docs that would be a
+    multi-GB driver broadcast. The tf⋈doc_len join stays a shuffle
+    equi-join on url (AQE may still downgrade it to a broadcast at
+    runtime when the corpus is genuinely small). Deterministic
+    tie-break by url.
     """
+    if (term_stats is None) != (doc_lens is None):
+        raise ValueError(
+            "pass term_stats and doc_lens together (both materialized "
+            "at index build) or neither"
+        )
+    if term_stats is None and postings is None:
+        raise ValueError("need postings or (term_stats, doc_lens)")
     words = split_query(query)
-    spark = postings.sparkSession
+    spark = (
+        postings if postings is not None else term_stats
+    ).sparkSession
     if not words:
         return spark.createDataFrame([], "url string, score double")
-    terms_df = F.broadcast(
-        spark.createDataFrame([(w,) for w in set(words)], "term string")
-    )
 
-    doc_len = postings.groupBy("url").agg(F.count("*").alias("dl"))
+    if term_stats is not None:
+        doc_len = doc_lens
+        # a static IN-filter (terms are plan-time literals) instead of
+        # a join: it pushes into the parquet scan (PushedFilters), so a
+        # term-clustered store prunes row groups before any operator
+        tf = term_stats.filter(F.col("term").isin(list(set(words))))
+        # df per term: count rows of the pre-aggregated (term, url, tf)
+        # — already distinct per (term, url), no count_distinct needed
+        df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    else:
+        terms_df = F.broadcast(
+            spark.createDataFrame([(w,) for w in set(words)], "term string")
+        )
+        doc_len = postings.groupBy("url").agg(F.count("*").alias("dl"))
+        matched = postings.join(terms_df, "term")
+        df_t = matched.groupBy("term").agg(
+            F.count_distinct("url").alias("df")
+        )
+        tf = matched.groupBy("url", "term").agg(F.count("*").alias("tf"))
     # corpus stats stay LAZY: a 1-row broadcast cross-join instead of a
     # driver collect(), so building the query plan never triggers a full
     # postings scan (and the stats job fuses into the one submitted job)
@@ -224,12 +260,6 @@ def bm25_search(
             F.avg("dl").alias("avg_dl"),
         )
     )
-
-    matched = postings.join(terms_df, "term")
-    df_t = matched.groupBy("term").agg(
-        F.count_distinct("url").alias("df")
-    )
-    tf = matched.groupBy("url", "term").agg(F.count("*").alias("tf"))
     scored = (
         tf.join(F.broadcast(df_t), "term")
         .join(doc_len, "url")  # corpus-sized side: no broadcast hint
