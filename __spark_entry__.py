@@ -2262,14 +2262,21 @@ def _minhash_oracle(
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.band_key = b.band_key
            AND a.doc_id < b.doc_id
+        ), shh AS (
+          -- the "arrays" verify hashes each distinct shingle to a
+          -- 60-bit int (first 15 hex chars of md5) — mirror it exactly
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS sh
+          FROM sh
         ), verified AS (
           SELECT c.doc_a, c.doc_b,
                  CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
-                   / len(list_distinct(list_concat(sa.shs, sb.shs))) AS j
+                   / (len(sa.shs) + len(sb.shs)
+                      - len(list_intersect(sa.shs, sb.shs))) AS j
           FROM cand c
-          JOIN (SELECT doc_id, list(shingle) AS shs FROM sh GROUP BY doc_id) sa
+          JOIN (SELECT doc_id, list(sh) AS shs FROM shh GROUP BY doc_id) sa
             ON sa.doc_id = c.doc_a
-          JOIN (SELECT doc_id, list(shingle) AS shs FROM sh GROUP BY doc_id) sb
+          JOIN (SELECT doc_id, list(sh) AS shs FROM shh GROUP BY doc_id) sb
             ON sb.doc_id = c.doc_b
         )
         SELECT doc_a, doc_b, floor(j * 1e6 + 0.5) / 1e6 AS jaccard
