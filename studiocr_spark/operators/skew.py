@@ -34,6 +34,12 @@ def hot_keys(
     """Keys whose (sampled, approximate) share exceeds the threshold.
 
     One pass over a sample; returns the small hot-key dim to broadcast.
+
+    NOTE: the ``sample.count()`` below is a DRIVER-SIDE ACTION — this
+    is a planning probe, intended to run once before wiring the result
+    into a plan, not inside a lazily re-evaluated subtree. Callers that
+    also reuse the sample for other statistics should ``.cache()`` /
+    ``.localCheckpoint()`` it first so the sampling scan runs once.
     """
     sample = df.sample(sample_fraction, seed=7) if sample_fraction < 1 else df
     total = sample.count() or 1
