@@ -1096,7 +1096,12 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lined = docs.select(
         "doc_id", F.array_join(chunks, "\n").alias("text")
     )
-    return ld(lined, min_doc_freq=2)
+    # line_dedup consumes its input TWICE (line explode + totals); the
+    # chunking above is interpreted-HOF work worth ~0.7 s per pass at
+    # sf0.1, so materialize it once (the repo twice-referenced-subplan
+    # rule). A plain parquet input doesn't need this — rescanning a
+    # file twice is cheaper than materializing it.
+    return ld(lined.localCheckpoint(eager=False), min_doc_freq=2)
 
 
 def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

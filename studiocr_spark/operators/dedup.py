@@ -947,6 +947,13 @@ def line_dedup(
     construction (Spark's size(split(NULL)) is -1 while SQL splits of
     NULL vanish or nullify — the same latent-mismatch class the
     repetition-stats ADVICE fix closed).
+
+    NOTE: the input is referenced TWICE in the plan (line explode +
+    per-doc line totals). A parquet-backed input just scans twice —
+    fine. An input that is itself an expensive computed subplan should
+    be ``localCheckpoint(eager=False)``-ed by the caller first, or its
+    subplan executes twice (the repo twice-referenced-subplan rule;
+    halved the line_dedup gate entry at sf0.1).
     """
     docs = docs.withColumn(
         text_col, F.coalesce(F.col(text_col), F.lit(""))
