@@ -308,11 +308,20 @@ def minhash_band_table(
     group-by sorted by seed; slice order IS seed order), pinned by
     pytest equality against :func:`minhash_signatures` + grouping.
     """
-    import math
-
     mins = docs.select(
         "doc_id", _minhash_array_udf(n, num_hashes)(text_col).alias("mh")
     )
+    return _band_keys_from_mh(mins, num_hashes, rows_per_band)
+
+
+def _band_keys_from_mh(
+    mins: DataFrame, num_hashes: int, rows_per_band: int
+) -> DataFrame:
+    """(doc_id, band, band_key) from a (doc_id, mh array) frame — the
+    per-row band-key projection shared by minhash_band_table and the
+    fused minhash_lsh_dedup path."""
+    import math
+
     n_bands = math.ceil(num_hashes / rows_per_band)
     keys = F.array(*[
         F.array_join(
@@ -382,6 +391,76 @@ def _pairs_from_banded(
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def _sig_and_shingles_udf(n: int, num_hashes: int):
+    """Factory: text -> struct(mh: array<long>, shs: array<long>) — the
+    minhash signature AND the 60-bit hashed shingle array from ONE
+    tokenize + ONE md5 per batch-distinct shingle (the full hexdigest
+    serves both: chars [0:8) are the signature's universal-hash input,
+    chars [0:15) the verify identity). Fuses what used to be two
+    separate Arrow passes over the same documents (signatures for
+    banding, hashes for the arrays verify). Values are bit-identical to
+    the standalone UDFs — pinned by pytest equality."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    a_co, b_co = minhash_params(num_hashes)
+
+    @pandas_udf("struct<mh: array<long>, shs: array<long>>")
+    def _combo(texts: pd.Series) -> pd.DataFrame:
+        A = np.array(a_co, dtype=np.int64)[:, None]
+        B = np.array(b_co, dtype=np.int64)[:, None]
+        sh = [_py_shingles(t, n) for t in texts]
+        lens = np.array([len(s) for s in sh], dtype=np.int64)
+        flat: list[str] = []
+        for s in sh:
+            flat.extend(s)
+        if flat:
+            codes, uniques = pd.factorize(
+                pd.Series(flat, dtype="object"), use_na_sentinel=False
+            )
+            hexes = [hashlib.md5(u.encode()).hexdigest() for u in uniques]
+            xu = np.fromiter(
+                (int(h[:8], 16) for h in hexes),
+                dtype=np.int64, count=len(hexes),
+            )
+            hu = np.fromiter(
+                (int(h[:15], 16) for h in hexes),
+                dtype=np.int64, count=len(hexes),
+            )
+            H = (A * xu[codes] + B) % MH_PRIME
+            seg = lens[lens > 0]
+            starts = np.concatenate(([0], np.cumsum(seg)[:-1])).astype(
+                np.int64
+            )
+            mins = np.minimum.reduceat(H, starts, axis=1)
+            hc = hu[codes]
+        # StructType pandas UDFs return a DataFrame (one column per
+        # field). Build plain Python lists of .tolist() values — object
+        # Series assignment of ndarray cells corrupts (repo rule).
+        mh_out: list[list[int] | None] = []
+        shs_out: list[list[int]] = []
+        j = 0
+        pos = 0
+        for ln in lens:
+            shs_out.append(hc[pos : pos + ln].tolist() if ln else [])
+            pos += ln
+            if ln == 0:
+                mh_out.append(None)
+            else:
+                mh_out.append(mins[:, j].tolist())
+                j += 1
+        return pd.DataFrame(
+            {
+                "mh": pd.Series(mh_out, dtype="object"),
+                "shs": pd.Series(shs_out, dtype="object"),
+            }
+        )
+
+    return _combo
 
 
 def _hashed_shingle_array_udf(n: int):
@@ -533,17 +612,24 @@ def _jaccard_verify_arrays(
     n: int,
     threshold: float,
     checkpoint_shingles: bool,
+    arrs: DataFrame | None = None,
 ) -> DataFrame:
-    """The "arrays" verify shape (see :func:`jaccard_verify`)."""
+    """The "arrays" verify shape (see :func:`jaccard_verify`).
+
+    ``arrs`` overrides the (doc_id, shs) hashed-shingle table — the
+    fused minhash path passes the one it already computed alongside the
+    signatures; by default it is derived here for candidate docs only.
+    """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    cand_docs = _candidate_docs(pairs)
-    arrs = docs.join(cand_docs, "doc_id", "left_semi").select(
-        "doc_id", _hashed_shingle_array_udf(n)(text_col).alias("shs")
-    )
-    if checkpoint_shingles:
-        arrs = arrs.localCheckpoint(eager=False)
+    if arrs is None:
+        cand_docs = _candidate_docs(pairs)
+        arrs = docs.join(cand_docs, "doc_id", "left_semi").select(
+            "doc_id", _hashed_shingle_array_udf(n)(text_col).alias("shs")
+        )
+        if checkpoint_shingles:
+            arrs = arrs.localCheckpoint(eager=False)
 
     @pandas_udf("long")
     def _isect(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -612,6 +698,12 @@ def minhash_lsh_dedup(
     long-document scale shape — the candidate generation is identical,
     only the verify join geometry changes).
 
+    With ``verify="arrays"`` AND checkpointing on, the whole pipeline
+    runs off ONE fused Arrow pass (:func:`_sig_and_shingles_udf`): each
+    document is tokenized once and each batch-distinct shingle md5'd
+    once, yielding both the signature (bands) and the hashed shingle
+    array (verify) — the standalone path pays that work twice.
+
     The candidate pairs feed the verify step TWICE (as join keys and as
     the doc pruning set), so by default they are lazily
     local-checkpointed: computed once on first action, reused, lineage
@@ -619,8 +711,31 @@ def minhash_lsh_dedup(
     ``checkpoint_candidates=False`` on clusters with aggressive dynamic
     executor deallocation, where localCheckpoint blocks can be lost
     with their executor mid-job (this also disables the banded-side and
-    shingle-table checkpoints, keeping the whole plan visible).
+    shingle-table checkpoints and the fused single-pass, keeping the
+    whole plan visible).
     """
+    if verify == "arrays" and checkpoint_candidates:
+        # fused single-pass: signature + hashed shingles together; the
+        # combo table is the one checkpoint both bands and verify read
+        combo = docs.select(
+            "doc_id",
+            _sig_and_shingles_udf(n, num_hashes)(text_col).alias("s"),
+        ).localCheckpoint(eager=False)
+        banded = _band_keys_from_mh(
+            combo.select("doc_id", F.col("s.mh").alias("mh")),
+            num_hashes, rows_per_band,
+        )
+        # banded is a cheap projection over the checkpointed combo —
+        # no further checkpoint needed for the self-join sides
+        cand = _pairs_from_banded(banded, checkpoint_banded=False)
+        cand = cand.localCheckpoint(eager=False)
+        arrs = combo.join(
+            _candidate_docs(cand), "doc_id", "left_semi"
+        ).select("doc_id", F.col("s.shs").alias("shs"))
+        return _jaccard_verify_arrays(
+            cand, docs, text_col, n, threshold,
+            checkpoint_shingles=False, arrs=arrs,
+        )
     banded = minhash_band_table(docs, text_col, n, num_hashes, rows_per_band)
     cand = _pairs_from_banded(banded, checkpoint_banded=checkpoint_candidates)
     if checkpoint_candidates:
