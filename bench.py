@@ -217,7 +217,6 @@ def main() -> None:
             spark, EXTRACT_DOCS, corpus_dir, partitions=CPUS * 2,
             min_words=200, max_words=400,
         )
-    pages = spark.read.parquet(corpus_dir)
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
@@ -228,6 +227,19 @@ def main() -> None:
     #    lines up with BENCH/BASELINE.md's local[32] row.
     #  - "pipeline_sec" = decode once (persisted) + blocks + page_stats
     #    — the full materialization a user runs; same corpus.
+    # Protocol harmonization (round 5): the extract number is compared
+    # against BENCH/BASELINE.md's local[32] row, which bench_scaling
+    # measures with 8 MB scan partitions and min-of-3 after warmup.
+    # This session runs the query suite at 4 MB (tiny sf files need the
+    # split fan-out); measured on the 60k corpus the 4 MB setting costs
+    # the extract ~20% (128 -> 230 tasks of per-task overhead), which
+    # read as an operator regression when it was a harness mismatch.
+    # Match the scaling conf for the extract region only.
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024)
+    )
+    pages = spark.read.parquet(corpus_dir)
+
     def raw_pass() -> float:
         t0 = time.time()
         _force(extract_raw(pages, backend="bitmap"))
@@ -250,7 +262,11 @@ def main() -> None:
         return sec
 
     raw_pass()  # warm decode workers + codegen for this exact plan
-    extract_sec = min(raw_pass() for _ in range(2))
+    # min-of-3 like the scaling worker: throughput keeps warming past
+    # the first timed pass (JIT + Arrow pools), and the extract is the
+    # headline metric — give it the same statistics as the row it is
+    # compared against
+    extract_sec = min(raw_pass() for _ in range(3))
     pipeline_sec = round(min(pipeline_pass() for _ in range(2)), 3)
     docs_per_sec = EXTRACT_DOCS / extract_sec
 
