@@ -396,14 +396,21 @@ def _bm25_index_root(spark: SparkSession, sf_dir: str) -> str:
     """Materialized BM25 serving store for this corpus — built once,
     reused across calls (the real serving shape: you don't rebuild an
     index per query). Namespaced per sf basename and validated by a
-    corpus fingerprint (doc count + total text length), so a changed
-    corpus forces a rebuild and a stale cross-corpus pairing is
-    impossible (same protocol as the ANN dumps)."""
+    CONTENT fingerprint — bit_xor of xxhash64(doc_id, text), order-
+    independent and overflow-free (round-6 ADVICE fix: the old
+    doc-count + total-length stamp could not see a regenerated or
+    permuted corpus of the same size; a bigint SUM of full-range
+    hashes overflows under ANSI) — so a changed corpus forces a
+    rebuild and a stale cross-corpus pairing is impossible (same
+    protocol as the ANN dumps). Bump the version prefix whenever
+    _blocks or write_postings semantics change: the stamp must
+    invalidate on CODE changes too, or a stale store serves old
+    postings until an oracle mismatch."""
     docs = _t(spark, sf_dir, "documents")
-    n, total_len = docs.agg(
-        F.count("*"), F.sum(F.length("text"))
+    n, content = docs.agg(
+        F.count("*"), F.bit_xor(F.xxhash64("doc_id", "text"))
     ).first()
-    fp = f"v1 n={n} len={total_len}"
+    fp = f"v2 n={n} h={content}"
     root = os.path.join(
         _BM25_INDEX, os.path.basename(os.path.normpath(sf_dir))
     )
@@ -624,7 +631,7 @@ def _corpus_fp(emb: DataFrame) -> int:
 
 
 def _dump_ann(
-    df: DataFrame, name: str, sf_dir: str, corpus_fp: int
+    df: DataFrame, name: str, sf_dir: str, corpus_fp: Callable[[], int]
 ) -> DataFrame:
     """Persist an approx-ANN result and return it read back.
 
@@ -652,15 +659,21 @@ def _dump_ann(
     dump parquet round-trip is oracle plumbing, not operator cost, and
     inflated ann_lsh_topk by ~36% in BENCH_r04) and by plan_report
     (plan inspection must not write). No oracle runs against those
-    invocations, so skipping is safe there and only there."""
+    invocations, so skipping is safe there and only there.
+
+    ``corpus_fp`` is a THUNK (round-6 ADVICE fix): computing the
+    fingerprint is itself an eager Spark action (a full embeddings
+    aggregation), so it must not run when the dump is skipped — the
+    skip check happens first, and skipped invocations now trigger no
+    job at all."""
     if os.environ.get("SPARK_GRAFT_ANN_SKIP_DUMP"):
         return df
     path = os.path.join(
         _ANN_DUMPS, os.path.basename(os.path.normpath(sf_dir)), name
     )
-    df.withColumn("corpus_fp", F.lit(int(corpus_fp)).cast("long")).write.mode(
-        "overwrite"
-    ).parquet(path)
+    df.withColumn(
+        "corpus_fp", F.lit(int(corpus_fp())).cast("long")
+    ).write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path).drop("corpus_fp")
 
 
@@ -684,7 +697,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     found = _dump_ann(
         approx.select("query_id", "neighbor_id"), "ann_lsh_topk",
-        sf_dir, _corpus_fp(emb),
+        sf_dir, lambda: _corpus_fp(emb),
     )
     exact = brute_force_topk(queries, emb, k=5)
     return recall_at_k(found, exact, floor=0.6, mean_floor=0.9)
@@ -717,7 +730,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=8)
     found = _dump_ann(
         approx.select("query_id", "neighbor_id"), "ann_ivf_topk",
-        sf_dir, _corpus_fp(emb),
+        sf_dir, lambda: _corpus_fp(emb),
     )
     exact = brute_force_topk(queries, emb, k=5)
     return recall_at_k(found, exact, floor=0.2, mean_floor=0.6)
@@ -743,7 +756,7 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd(emb, dim=64, threshold=0.35, n_planes=4, n_tables=16).select(
             "vec_a", "vec_b"
         ),
-        "embedding_near_dups", sf_dir, _corpus_fp(emb),
+        "embedding_near_dups", sf_dir, lambda: _corpus_fp(emb),
     )
     truth = exact_near_dup_pairs(emb, threshold=0.35, vectorized=False)
     # lazy: aggregate both sides, cross-join the two 1-row frames
@@ -1287,14 +1300,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     is therefore always the entries with the freshest driver rows.
     """
     return {
-        # -- never driver-checked (skipped in r4) — lead this round
-        "boilerplate_strip": boilerplate_strip,
-        "decontaminate_corpus": decontaminate_corpus,
-        "extract_blocks": extract_blocks,
-        "extract_page_stats": extract_page_stats,
-        "pii_redaction": pii_redaction,
-        "repetition_scores": repetition_scores,
-        "stream_window_counts": stream_window_counts,
+        # -- fell past the 50-row cap in r5 (judge-verified only) —
+        #    lead this round (round-5 verdict task 4)
+        "percentile_prices": percentile_prices,
+        "url_canonical_dedup": url_canonical_dedup,
+        "sample_top_n_per_source": sample_top_n_per_source,
+        "rebalance_mixture": rebalance_mixture,
+        "gopher_quality": gopher_quality,
+        "line_dedup": line_dedup,
+        "domain_stats": domain_stats,
         # -- checked in r4, oldest-first thereafter
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1339,13 +1353,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": rollup_orders,
         "pivot_order_priority": pivot_order_priority,
         "set_ops_customers": set_ops_customers,
-        "percentile_prices": percentile_prices,
-        "url_canonical_dedup": url_canonical_dedup,
-        "sample_top_n_per_source": sample_top_n_per_source,
-        "rebalance_mixture": rebalance_mixture,
-        "gopher_quality": gopher_quality,
-        "line_dedup": line_dedup,
-        "domain_stats": domain_stats,
+        # -- freshest driver rows (led in r5) — tail this round
+        "boilerplate_strip": boilerplate_strip,
+        "decontaminate_corpus": decontaminate_corpus,
+        "extract_blocks": extract_blocks,
+        "extract_page_stats": extract_page_stats,
+        "pii_redaction": pii_redaction,
+        "repetition_scores": repetition_scores,
+        "stream_window_counts": stream_window_counts,
     }
 
 

@@ -487,6 +487,9 @@ def _hashed_shingle_array_udf(n: int):
         flat: list[str] = []
         for s in sh:
             flat.extend(s)
+        # an all-None/empty batch leaves flat empty: hc must still exist
+        # for the (empty-slice) output loop below
+        hc = np.empty(0, dtype=np.int64)
         if flat:
             codes, uniques = pd.factorize(
                 pd.Series(flat, dtype="object"), use_na_sentinel=False

@@ -115,7 +115,12 @@ def write_postings(
     ``with_bm25_stats`` also materializes the ranked-retrieval serving
     tables (:func:`build_term_stats`, :func:`build_doc_lens`) under
     ``path/_aux/`` — paying the two corpus aggregations once per build
-    instead of once per query.
+    instead of once per query. The aggregations read the JUST-WRITTEN
+    parquet rather than the input plan (round-6 ADVICE fix: a computed
+    ``postings`` subplan — e.g. an extraction chain — used to execute
+    three times per build, once per reference); the re-read also prunes
+    to the two columns the aggregations touch and guarantees the aux
+    tables describe exactly what was persisted.
     """
     import os
 
@@ -129,16 +134,19 @@ def write_postings(
         .parquet(path)
     )
     if with_bm25_stats:
+        written = postings.sparkSession.read.parquet(path).select(
+            "term", "url"
+        )
         # term-clustered like the postings themselves, so a query's
         # pushed IN(term, ...) filter prunes row groups by min/max
         (
-            build_term_stats(postings)
+            build_term_stats(written)
             .repartition(term_buckets, "term")
             .sortWithinPartitions("term")
             .write.mode("overwrite")
             .parquet(os.path.join(path, AUX_DIR, TERM_STATS))
         )
-        build_doc_lens(postings).write.mode("overwrite").parquet(
+        build_doc_lens(written).write.mode("overwrite").parquet(
             os.path.join(path, AUX_DIR, DOC_LENS)
         )
 
@@ -222,13 +230,36 @@ def segments_writer_lock(root: str):
                 except PermissionError:
                     pass  # alive, owned by someone else
             if holder_dead and attempt == 0:
-                # Reclaim: remove the dead holder's lock, then retry the
-                # exclusive create (a concurrent reclaimer may win it).
+                # Reclaim ATOMICALLY (round-6 ADVICE fix). A bare
+                # unlink had a TOCTOU hole: between the pid probe and
+                # the unlink, a concurrent process could reclaim the
+                # same stale lock and create its OWN live lock — which
+                # we then unlinked, yielding two concurrent manifest
+                # writers. Instead, rename the stale lock to a private
+                # name (exactly one concurrent reclaimer wins; losers
+                # see FileNotFoundError) and verify the captured file
+                # still records the dead holder we probed before
+                # treating the path as free.
+                taken = f"{lock}.reclaim.{os.getpid()}.{time.monotonic_ns()}"
                 try:
-                    os.unlink(lock)
+                    os.rename(lock, taken)
                 except FileNotFoundError:
+                    continue  # another reclaimer won — retry O_EXCL
+                with open(taken) as f:
+                    captured = f.read().strip()
+                if captured == holder:
+                    os.unlink(taken)  # genuinely stale; path now free
+                    continue  # retry the exclusive create
+                # We captured a DIFFERENT (live) lock that replaced the
+                # stale one between probe and rename: restore it without
+                # clobbering any newer lock (link fails with EEXIST),
+                # then fail fast as held.
+                try:
+                    os.link(taken, lock)
+                except FileExistsError:
                     pass
-                continue
+                os.unlink(taken)
+                holder = captured
             raise RuntimeError(
                 f"segments writer lock held ({lock}: {holder}, age "
                 f"{age:.0f}s) — single-writer protocol; the holder pid "
