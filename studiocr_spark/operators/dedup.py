@@ -623,9 +623,6 @@ def _jaccard_verify_arrays(
     fused minhash path passes the one it already computed alongside the
     signatures; by default it is derived here for candidate docs only.
     """
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-
     if arrs is None:
         cand_docs = _candidate_docs(pairs)
         arrs = docs.join(cand_docs, "doc_id", "left_semi").select(
@@ -634,24 +631,15 @@ def _jaccard_verify_arrays(
         if checkpoint_shingles:
             arrs = arrs.localCheckpoint(eager=False)
 
-    @pandas_udf("long")
-    def _isect(a: pd.Series, b: pd.Series) -> pd.Series:
-        # intersect1d without assume_unique: it dedups, so a freak
-        # within-doc hash collision degrades gracefully to set
-        # semantics (matching DuckDB's list_intersect)
-        return pd.Series(
-            [
-                len(
-                    np.intersect1d(
-                        np.asarray(x, dtype=np.int64),
-                        np.asarray(y, dtype=np.int64),
-                    )
-                )
-                for x, y in zip(a, b)
-            ],
-            dtype="int64",
-        )
-
+    # |A∩B| via the NATIVE array_intersect expression (round-6): the
+    # previous per-pair numpy intersect1d ran at Python's ~17 us/pair
+    # floor and serialized behind AQE-coalesced partitions — at sf0.1
+    # (73k candidate pairs) the Arrow verify was ~2.0 s vs ~0.65 s for
+    # the JVM expression, with 0 count mismatches across every pair.
+    # array_intersect is set-semantic (dedups), exactly intersect1d's
+    # behavior and DuckDB's list_intersect, so a freak within-doc hash
+    # collision still degrades to set semantics on both sides. This
+    # also removes the last JVM->Python array shipment from the verify.
     joined = (
         pairs.join(
             arrs.select(
@@ -665,9 +653,14 @@ def _jaccard_verify_arrays(
             ),
             "doc_b",
         )
-        # evaluate the Arrow intersection ONCE per row: referencing the
-        # UDF twice inside the jaccard expression would run it twice
-        .select("doc_a", "doc_b", "sa", "sb", _isect("sa", "sb").alias("shared"))
+        # compute `shared` once in its own projection: Catalyst does
+        # not CSE a repeated expression across output columns
+        .select(
+            "doc_a", "doc_b", "sa", "sb",
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias(
+                "shared"
+            ),
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -732,9 +725,17 @@ def minhash_lsh_dedup(
         # no further checkpoint needed for the self-join sides
         cand = _pairs_from_banded(banded, checkpoint_banded=False)
         cand = cand.localCheckpoint(eager=False)
+        # arrs feeds BOTH verify join sides; without its own lazy
+        # checkpoint the (combo scan + candidate-distinct + semi-join)
+        # subplan executes twice per action (round-6; the arrs=None
+        # branch of _jaccard_verify_arrays already checkpoints). The
+        # semi-join itself stays: it is what keeps shingle ARRAYS off
+        # the shuffle for non-candidate docs at scale.
         arrs = combo.join(
             _candidate_docs(cand), "doc_id", "left_semi"
-        ).select("doc_id", F.col("s.shs").alias("shs"))
+        ).select(
+            "doc_id", F.col("s.shs").alias("shs")
+        ).localCheckpoint(eager=False)
         return _jaccard_verify_arrays(
             cand, docs, text_col, n, threshold,
             checkpoint_shingles=False, arrs=arrs,
@@ -765,34 +766,63 @@ def simhash(
     if bits > 32:
         raise ValueError("bits must be <= 32 (one hex digit per bit)")
     # ONE narrow Arrow pass per doc: md5 per token (hashlib — identical
-    # hexdigests to Spark/DuckDB md5), per-bit ±1 majority in Python.
-    # The expression form (explode words -> md5 -> `bits` conditional
+    # hexdigests to Spark/DuckDB md5), per-bit ±1 majority. The
+    # expression form (explode words -> md5 -> `bits` conditional
     # sums in a hash aggregate) shuffles every token row and evaluates
     # bits x tokens conv/substring expressions; a fold-per-bit HOF
     # variant is worse still (re-hashes every token per bit).
+    #
+    # Round-6 vectorization (the _minhash_array_udf playbook, guide
+    # §4.2): the old body looped words x bits in Python per row. Now
+    # one factorize over the batch's flattened tokens, ONE md5 per
+    # batch-distinct token, a (distinct x bits) ±1 matrix from the raw
+    # hex bytes, and per-doc vote sums via add.reduceat. All-integer
+    # arithmetic with the same votes>0 majority, so signatures are
+    # bit-identical to the row form (pytest parity) and the DuckDB
+    # oracle hash compare is unchanged.
     import hashlib
 
+    import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
-        odd = set("13579bdf")
-
-        def sh(t):
-            if t is None:
-                return None
-            words = _py_words(t)
-            if not words:
-                return None  # no tokens -> no vote rows in the explode
-                # form either (doc dropped); keep that behavior as null
-            votes = [0] * bits
-            for w in words:
-                h = hashlib.md5(w.encode()).hexdigest()
-                for b in range(bits):
-                    votes[b] += 1 if h[b] in odd else -1
-            return sum(2 ** b for b in range(bits) if votes[b] > 0)
-
-        return texts.map(sh)
+        toks = [None if t is None else _py_words(t) for t in texts]
+        # None text and zero-token text both yield null, matching the
+        # explode form (no vote rows -> doc dropped)
+        lens = np.array([len(w) if w else 0 for w in toks], dtype=np.int64)
+        flat: list[str] = []
+        for w in toks:
+            if w:
+                flat.extend(w)
+        if flat:
+            codes, uniques = pd.factorize(
+                pd.Series(flat, dtype="object"), use_na_sentinel=False
+            )
+            hexes = "".join(
+                hashlib.md5(u.encode()).hexdigest()[:bits] for u in uniques
+            )
+            digits = np.frombuffer(hexes.encode(), dtype=np.uint8).reshape(
+                len(uniques), bits
+            )
+            odd_vals = np.frombuffer(b"13579bdf", dtype=np.uint8)
+            pm = np.where(np.isin(digits, odd_vals), 1, -1).astype(np.int64)
+            seg = lens[lens > 0]
+            starts = np.concatenate(([0], np.cumsum(seg)[:-1])).astype(
+                np.int64
+            )
+            votes = np.add.reduceat(pm[codes], starts, axis=0)
+            weights = np.int64(1) << np.arange(bits, dtype=np.int64)
+            sigs = ((votes > 0) * weights).sum(axis=1)
+        out: list[int | None] = []
+        j = 0
+        for ln in lens:
+            if ln == 0:
+                out.append(None)
+            else:
+                out.append(int(sigs[j]))
+                j += 1
+        return pd.Series(out, dtype="object")
 
     return docs.select(
         "doc_id", _simhash(text_col).alias("simhash")
@@ -1012,6 +1042,13 @@ def ngram_jaccard_pairs(
     shingle — billions of rows at 100 TB, never broadcastable.
     """
     sh = shingle_table(docs, text_col, n)
+    # the shingle table feeds THREE consumers per action (the hot-set
+    # aggregate and both sides of the self-join), so the tokenize+
+    # shingle Arrow pass used to run 3x — the repo's twice-referenced-
+    # subplan rule (round-6: lazy localCheckpoint runs it once; same
+    # escape hatch semantics as the candidate checkpoint below)
+    if checkpoint_candidates:
+        sh = sh.localCheckpoint(eager=False)
     hot = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
