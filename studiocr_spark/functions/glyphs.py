@@ -26,6 +26,7 @@ from __future__ import annotations
 import hashlib
 import re
 import zlib
+from functools import lru_cache
 
 import numpy as np
 
@@ -77,6 +78,14 @@ _REVERSE_INT: dict[int, str] = {
 }
 assert len(_REVERSE_INT) == len(GLYPHS), "glyph int-key collision"
 
+# sorted-key form of _REVERSE_INT for the vectorized decode: one
+# searchsorted over the page's cell keys replaces a per-char dict
+# lookup + string join (round-6; ~40% of decode_page_text's profile)
+_SORTED_KEYS = np.array(sorted(_REVERSE_INT), dtype=np.uint64)
+_SORTED_CODES = np.array(
+    [ord(_REVERSE_INT[int(k)]) for k in _SORTED_KEYS], dtype=np.uint8
+)
+
 
 def _cell_keys(img: np.ndarray) -> np.ndarray:
     """All cell bit-pattern keys of a page image, row-major (vectorized)."""
@@ -93,12 +102,16 @@ def _cell_keys(img: np.ndarray) -> np.ndarray:
     return _pack_key(cells != 0)
 
 
+@lru_cache(maxsize=65536)
 def word_conf(word: str) -> int:
     """Deterministic per-word pseudo-confidence in [0, 100].
 
     Spans all three of the reference's confidence color classes
     (/root/reference/StudiOCR/DocWindow.py:221-227: >=80 green,
-    >=40 blue, else red).
+    >=40 blue, else red). Cached: corpora draw words from a bounded
+    vocabulary, so long-lived UDF workers (spark.python.worker.reuse)
+    amortize the crc32 across repeats; the cache bound keeps worker
+    memory flat on adversarial vocabularies.
     """
     return zlib.crc32(word.encode("utf-8")) % 101
 
@@ -126,8 +139,13 @@ def decode_page_text(png: bytes) -> str:
     keys = _cell_keys(decode_png(png))
     nz = keys != 0
     end = len(keys) if nz.all() else int(np.argmin(nz))
-    rev = _REVERSE_INT
-    return "".join([rev[int(k)] for k in keys[:end]])
+    keys = keys[:end]
+    idx = np.searchsorted(_SORTED_KEYS, keys)
+    idx_c = np.minimum(idx, len(_SORTED_KEYS) - 1)
+    bad = _SORTED_KEYS[idx_c] != keys
+    if bad.any():  # corrupt cell: same KeyError contract as the dict form
+        raise KeyError(int(keys[int(np.argmax(bad))]))
+    return _SORTED_CODES[idx_c].tobytes().decode("ascii")
 
 
 def page_image_to_data(png: bytes, text: str | None = None) -> dict[str, list]:
@@ -140,11 +158,90 @@ def page_image_to_data(png: bytes, text: str | None = None) -> dict[str, list]:
     a wrapped word's box spans the full wrapped region).
 
     ``text`` may be passed when already decoded (avoids a second decode).
+
+    Round-6: the word-box geometry is computed vectorized (numpy over
+    the byte positions) for renderable text — chars in [32, 126], where
+    ``\\S+`` is exactly "runs of non-space". The per-match loop remains
+    as the fallback for out-of-range text (control chars / non-ASCII),
+    where regex whitespace semantics differ from the byte test. Both
+    paths produce identical rows (pinned by the roundtrip tests and a
+    60k-doc equality sweep, OPTIMIZATION_r06.md).
     """
     if text is None:
         text = decode_page_text(png)
-    img_h = 2 * MARGIN + max((len(text) + LINE_CHARS - 1) // LINE_CHARS, 1) * CELL_H
+    n_rows = (max(len(text), 1) + LINE_CHARS - 1) // LINE_CHARS
+    img_h = 2 * MARGIN + n_rows * CELL_H
     img_w = 2 * MARGIN + LINE_CHARS * CELL_W
+
+    arr = (
+        np.frombuffer(text.encode("ascii"), dtype=np.uint8)
+        if text.isascii()
+        else None
+    )
+    if arr is not None and (arr.size == 0 or int(arr.min()) >= 32):
+        m = arr != 32  # space is the only whitespace in [32, 126]
+        if m.any():
+            starts = np.flatnonzero(
+                m & ~np.concatenate(([False], m[:-1]))
+            )
+            ends = np.flatnonzero(m & ~np.concatenate((m[1:], [False]))) + 1
+        else:
+            starts = ends = np.empty(0, dtype=np.int64)
+        r0 = starts // LINE_CHARS
+        c0 = starts % LINE_CHARS
+        r1 = (ends - 1) // LINE_CHARS
+        c1 = (ends - 1) % LINE_CHARS
+        same = r0 == r1
+        w_left = np.where(same, MARGIN + c0 * CELL_W, MARGIN)
+        w_width = np.where(
+            same, (c1 - c0 + 1) * CELL_W - 1, LINE_CHARS * CELL_W - 1
+        )
+        w_top = MARGIN + r0 * CELL_H
+        w_height = (r1 - r0 + 1) * CELL_H - 1
+        words = [text[i:j] for i, j in zip(starts.tolist(), ends.tolist())]
+        confs = [word_conf(w) for w in words]
+        per_row = (
+            np.bincount(r0, minlength=n_rows)
+            if len(words)
+            else np.zeros(n_rows, dtype=np.int64)
+        )
+        left = [0]
+        top = [0]
+        width = [img_w]
+        height = [img_h]
+        conf = [-1]
+        texts: list[str] = [""]
+        wl = w_left.tolist()
+        ww = w_width.tolist()
+        wt = w_top.tolist()
+        wh = w_height.tolist()
+        wi = 0
+        for r in range(n_rows):
+            left.append(MARGIN)
+            top.append(MARGIN + r * CELL_H)
+            width.append(LINE_CHARS * CELL_W - 1)
+            height.append(GLYPH_H)
+            conf.append(-1)
+            texts.append("")
+            k = int(per_row[r])
+            if k:
+                j = wi + k
+                left.extend(wl[wi:j])
+                top.extend(wt[wi:j])
+                width.extend(ww[wi:j])
+                height.extend(wh[wi:j])
+                conf.extend(confs[wi:j])
+                texts.extend(words[wi:j])
+                wi = j
+        return {
+            "left": left,
+            "top": top,
+            "width": width,
+            "height": height,
+            "conf": conf,
+            "text": texts,
+        }
+
     out: dict[str, list] = {k: [] for k in ("left", "top", "width", "height", "conf", "text")}
 
     def emit(left: int, top: int, width: int, height: int, conf: int, t: str) -> None:
@@ -157,14 +254,13 @@ def page_image_to_data(png: bytes, text: str | None = None) -> dict[str, list]:
 
     emit(0, 0, img_w, img_h, -1, "")  # page-level structural row
 
-    n_rows = (max(len(text), 1) + LINE_CHARS - 1) // LINE_CHARS
-    words = list(_WORD_RE.finditer(text))
+    words_m = list(_WORD_RE.finditer(text))
     wi = 0
     for r in range(n_rows):
         line_top = MARGIN + r * CELL_H
         emit(MARGIN, line_top, LINE_CHARS * CELL_W - 1, GLYPH_H, -1, "")
-        while wi < len(words) and words[wi].start() // LINE_CHARS == r:
-            m = words[wi]
+        while wi < len(words_m) and words_m[wi].start() // LINE_CHARS == r:
+            m = words_m[wi]
             i, j = m.start(), m.end()
             r0, c0 = divmod(i, LINE_CHARS)
             r1, c1 = divmod(j - 1, LINE_CHARS)

@@ -41,10 +41,12 @@ def compute_page_stats(data: dict) -> dict:
     for t, c in zip(texts, confs):
         conf_by_text.setdefault(t, set()).add(int(c))
 
+    # Counter values are already ints — plain dict() copies avoid two
+    # per-item conversion loops (round-6; ~100 items/page x 60k pages)
     return {
-        "word_counts": {t: int(n) for t, n in word_counts.items()},
+        "word_counts": dict(word_counts),
         "unique_texts": sorted(word_counts),
-        "char_counts": {c: int(n) for c, n in char_counts.items()},
+        "char_counts": dict(char_counts),
         "unique_chars": sorted(char_counts),
         "ascii_histogram": hist,
         "conf_by_text": {t: sorted(s) for t, s in conf_by_text.items()},
