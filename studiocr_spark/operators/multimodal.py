@@ -287,11 +287,14 @@ def extract_features(
     proj = projection_matrix(dim, seed=seed) if mode == "project" else None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bins = PROJECTION_BINS if mode == "project" else dim
         for pdf in batches:
-            rows = []
-            for url, data in zip(pdf[url_col], pdf[bin_col]):
+            urls = list(pdf[url_col])
+            feats: list[list | None] = [None] * len(urls)
+            decoded: list[np.ndarray] = []
+            decoded_rows: list[int] = []
+            for i, data in enumerate(pdf[bin_col]):
                 if data is None:
-                    rows.append({"url": url, "feature": None})
                     continue
                 b = bytes(data)
                 if decode is None:  # gated md5 stub (allow_fake)
@@ -302,18 +305,31 @@ def extract_features(
                             dtype=np.uint32,
                         ).astype(np.float32)
                     )
-                    vec = vec / np.float32(2**32)
-                    rows.append({"url": url, "feature": vec.tolist()})
+                    feats[i] = (vec / np.float32(2**32)).tolist()
                     continue
                 img = decode(_first_frame(b))
-                if img is None:
-                    rows.append({"url": url, "feature": None})
-                    continue
-                bins = PROJECTION_BINS if proj is not None else dim
-                hist = np.bincount(
-                    ((img.astype(np.int64) * bins) // 256).ravel(),
-                    minlength=bins,
-                ).astype(np.float64)
+                if img is not None:
+                    decoded.append(img)
+                    decoded_rows.append(i)
+            # Round-6 (verdict task, measured): a cross-frame batched
+            # offset-bincount was TRIED and is 0.66x — concatenating
+            # per-pixel codes costs more than 512 small bincounts save.
+            # The measured win is avoiding the 8x int64 temp per frame:
+            # when bins divides 256 (both tiers: 32 and 8), the bin
+            # code is exactly img // (256//bins) computed in uint8 —
+            # 1.57x on the histogram stage, bit-equal counts. The
+            # Gaussian projection stays a PER-FRAME matvec: a batched
+            # gemm's summation blocking can change with the batch's row
+            # count, which would make an embedding depend on which
+            # frames shared its Arrow batch.
+            for img, i in zip(decoded, decoded_rows):
+                if 256 % bins == 0 and img.dtype == np.uint8:
+                    codes = (img // np.uint8(256 // bins)).ravel()
+                else:  # non-uint8 / irregular bins: original formula
+                    codes = ((img.astype(np.int64) * bins) // 256).ravel()
+                hist = np.bincount(codes, minlength=bins).astype(
+                    np.float64
+                )
                 vec = (hist / max(img.size, 1)).astype(np.float32)
                 if proj is not None:
                     emb = vec @ proj
@@ -321,8 +337,11 @@ def extract_features(
                     if norm > 0:
                         emb = emb / np.float32(norm)
                     vec = emb.astype(np.float32)
-                rows.append({"url": url, "feature": vec.tolist()})
-            yield pd.DataFrame(rows, columns=FEATURE_SCHEMA.fieldNames())
+                feats[i] = vec.tolist()
+            yield pd.DataFrame(
+                {"url": urls, "feature": pd.Series(feats, dtype="object")},
+                columns=FEATURE_SCHEMA.fieldNames(),
+            )
 
     return df.select(url_col, bin_col).mapInPandas(run, FEATURE_SCHEMA)
 

@@ -41,6 +41,55 @@ def main() -> None:
     spark = get_spark(
         app_name="plan-report", master="local[4]", shuffle_partitions=4
     )
+
+    # Entries whose plans hide exchanges behind lazy localCheckpoints:
+    # re-derive the FULL count from the same operator built with its
+    # checkpoint escape hatch off (round-6, verdict task: the vitals
+    # table shows true totals, not just the post-checkpoint tail).
+    # The uncheckpointed build is the whole logical pipeline in one
+    # visible plan; its exchange count is what the checkpointed entry
+    # actually pays across its materialization steps.
+    def _full_builders():
+        from pyspark.sql import functions as F
+
+        from studiocr_spark.operators.dedup import (
+            line_dedup as _ld,
+            minhash_lsh_dedup,
+            ngram_jaccard_pairs,
+            simhash_near_dups,
+        )
+        from studiocr_spark.operators.textstats import words_of
+
+        def _line_dedup_full(spark, sf):
+            docs = entry._t(spark, sf, "documents")
+            w = words_of(F.col("text"))
+            n_chunks = F.ceil(F.size(w) / F.lit(5)).cast("int")
+            chunks = F.transform(
+                F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+                lambda i: F.array_join(F.slice(w, i * 5 + 1, 5), " "),
+            )
+            lined = docs.select(
+                "doc_id", F.array_join(chunks, "\n").alias("text")
+            )
+            return _ld(lined, min_doc_freq=2)
+
+        return {
+            "dedup_minhash_lsh": lambda spark, sf: minhash_lsh_dedup(
+                entry._t_wide(spark, sf, "documents"), threshold=0.3,
+                checkpoint_candidates=False,
+            ),
+            "dedup_simhash_pairs": lambda spark, sf: simhash_near_dups(
+                entry._t_wide(spark, sf, "documents"), bits=32,
+                max_hamming=3, checkpoint_banded=False,
+            ),
+            "dedup_ngram_jaccard": lambda spark, sf: ngram_jaccard_pairs(
+                entry._t(spark, sf, "documents"), threshold=0.3,
+                max_doc_freq=50, checkpoint_candidates=False,
+            ),
+            "line_dedup": _line_dedup_full,
+        }
+
+    full_builders = _full_builders()
     rows = []
     for name, fn in entry.queries().items():
         try:
@@ -50,6 +99,14 @@ def main() -> None:
             rows.append((name, "ERROR", "", "", f"{type(exc).__name__}"))
             continue
         n_ex = len(shuffle_exchanges(df))
+        ex_cell = str(n_ex)
+        if name in full_builders:
+            try:
+                full = full_builders[name](spark, sf_dir)
+                n_full = len(shuffle_exchanges(full))
+                ex_cell = f"{n_ex} ({n_full} incl. checkpointed)"
+            except Exception as exc:
+                ex_cell = f"{n_ex} (full: {type(exc).__name__})"
         joins = sorted(
             {
                 m
@@ -70,7 +127,7 @@ def main() -> None:
         if re.search(r"\bBatchEvalPython\b", plan):
             hazards.append("ROW-PYUDF")
         rows.append(
-            (name, str(n_ex), "+".join(j.replace("Join", "") for j in joins),
+            (name, ex_cell, "+".join(j.replace("Join", "") for j in joins),
              pushed, " ".join(hazards))
         )
 
@@ -83,8 +140,13 @@ def main() -> None:
         "exchanges excluded); hazards flag CartesianProduct and",
         "row-at-a-time Python UDFs (Arrow/pandas UDFs do not flag).",
         "Lazily-checkpointed subplans (minhash/simhash bands, candidate",
-        "pairs) hide their upstream exchanges from explain — their true",
-        "counts are pinned in tests/test_plans.py instead.",
+        "pairs) hide their upstream exchanges from explain — those",
+        "entries also show '(N incl. checkpointed)': the exchange count",
+        "of the same operator built with its checkpoint escape hatch",
+        "off. That single-plan equivalent re-counts a shared subplan",
+        "once PER REFERENCE (checkpointing exists precisely to run it",
+        "once), so N is an upper bound on what the entry pays; the",
+        "per-step budgets are pinned in tests/test_plans.py.",
         "",
         "| entry | exchanges | joins | pushdown | hazards |",
         "|---|---|---|---|---|",
