@@ -12,6 +12,17 @@ for the local[32] sandbox:
 - OMP_THREAD_LIMIT=1 for executor-side native libs: parallelism comes from
   Spark tasks, not intra-task OMP threads (reference pins the same —
   /root/reference/StudiOCR/OcrEngine.py:87).
+
+HARNESS-PARITY RULE (round-5 lesson, owned here because this factory owns
+the conf): ``spark.sql.files.maxPartitionBytes`` decides scan-task count,
+which decides per-task overhead on this host — the round-4 "extract 2.1x
+regression" was two harnesses measuring the same operator under 4 MB
+(query suite: tiny sf files need the split fan-out) vs 8 MB (scaling
+worker: 60k-doc corpus) scan partitions. Any new benchmark must either
+match the conf of the numbers it compares against (bench.py sets 8 MB for
+the extract region, 4 MB for the query suite, min-of-N both) or not
+compare at all. Never read a throughput delta across different
+maxPartitionBytes settings.
 """
 
 from __future__ import annotations
