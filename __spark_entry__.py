@@ -19,6 +19,10 @@ import os
 import sys
 from collections.abc import Callable
 
+# module-top import: with `from __future__ import annotations`,
+# pandas_udf type hints are strings resolved against MODULE globals
+# (repo rule) — a function-local import would UNSUPPORTED_SIGNATURE
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1096,24 +1100,40 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lines planted deterministically as 5-word chunks of each document,
     reproduced verbatim in the oracle SQL — near-dup docs share chunks,
     so cross-document duplicate lines exist and get stripped)."""
-    from studiocr_spark.operators.dedup import line_dedup as ld
-    from studiocr_spark.operators.textstats import words_of
+    from studiocr_spark.operators.dedup import line_dedup as ld, _py_words
+
+    # Round-6: the chunking used to be a transform/slice/array_join HOF
+    # chain — CodegenFallback, interpreted per element, ~0.7 s per pass
+    # at sf0.1. One Arrow pass computes the identical lined text:
+    # _py_words mirrors words_of exactly (parity-pinned in pytest), and
+    # ' '.join(w[5i:5i+5]) / '\n'.join is the literal transcription of
+    # slice(w, i*5+1, 5) + array_join. Verified string-equal to the HOF
+    # form over every sf0.1 doc before switching (OPTIMIZATION_r06.md);
+    # the oracle SQL (frozen) replicates the same chunking and stays
+    # green at sf0.001 + sf0.01.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _lined(texts: pd.Series) -> pd.Series:
+        def chunk(t):
+            if t is None:
+                return None
+            w = _py_words(t)
+            if not w:
+                return ""
+            return "\n".join(
+                " ".join(w[i : i + 5]) for i in range(0, len(w), 5)
+            )
+
+        return texts.map(chunk)
 
     docs = _t(spark, sf_dir, "documents")
-    w = words_of(F.col("text"))
-    n_chunks = F.ceil(F.size(w) / F.lit(5)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
-        lambda i: F.array_join(F.slice(w, i * 5 + 1, 5), " "),
-    )
-    lined = docs.select(
-        "doc_id", F.array_join(chunks, "\n").alias("text")
-    )
+    lined = docs.select("doc_id", _lined("text").alias("text"))
     # line_dedup consumes its input TWICE (line explode + totals); the
-    # chunking above is interpreted-HOF work worth ~0.7 s per pass at
-    # sf0.1, so materialize it once (the repo twice-referenced-subplan
-    # rule). A plain parquet input doesn't need this — rescanning a
-    # file twice is cheaper than materializing it.
+    # chunking above is one Arrow pass per doc, so materialize it once
+    # (the repo twice-referenced-subplan rule). A plain parquet input
+    # doesn't need this — rescanning a file twice is cheaper than
+    # materializing it.
     return ld(lined.localCheckpoint(eager=False), min_doc_freq=2)
 
 

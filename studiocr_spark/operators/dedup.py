@@ -961,6 +961,10 @@ def connected_components(
         # a driver OOM by round ~10. localCheckpoint materializes the
         # rows and makes each round's plan start flat, the standard
         # shape for iterative DataFrame algorithms (cf. MLlib).
+        # lazy: materializes inside the new_labels job below (one job
+        # instead of a separate eager barrier per round — round-6; the
+        # lineage cut is identical once materialized, and `parent` +
+        # `propagated` still read the same checkpointed blocks)
         propagated = (
             labels.join(
                 neighbor_min, labels.node == neighbor_min.dst, "left"
@@ -971,7 +975,7 @@ def connected_components(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # pointer jumping: adopt my label's own label (always <= mine,
         # since per-node labels only ever decrease from node id)
