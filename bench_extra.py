@@ -30,6 +30,30 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _window_control() -> float:
+    """No-Spark micro-control (docs/sec, single process): the same
+    decode+stats kernel bench_scaling's hardware control runs. A
+    depressed reading means the HOST is degraded — interpret the Spark
+    timings in this output as window-limited, not code-attributable
+    (bench.py is frozen, so the window stamp lives here; round-5
+    verdict task 1)."""
+    import time as _time
+
+    from studiocr_spark.functions.pagestats import compute_page_stats
+    from studiocr_spark.gen import make_doc
+    from studiocr_spark.sources.decode import bitmap_decode
+
+    docs = [make_doc(i, 200, 400)["html"] for i in range(10)]
+    n = 0
+    t_end = _time.time() + 2.0
+    while _time.time() < t_end:
+        for h in docs:
+            for _png, data, _text in bitmap_decode(h):
+                compute_page_stats(data)
+            n += 1
+    return n / 2.0
+
+
 def main() -> None:
     os.environ["SPARK_GRAFT_ANN_SKIP_DUMP"] = "1"
     args = sys.argv[1:]
@@ -62,6 +86,8 @@ def main() -> None:
 
     _force(spark.range(CPUS * 4).repartition(CPUS).select(_warm(_F.col("id"))))
 
+    load_before = os.getloadavg()
+    ctl_before = _window_control()
     timings: dict[str, float] = {}
     for name in names:
         spark.sparkContext.setJobDescription(f"bench_extra: {name}")
@@ -72,8 +98,16 @@ def main() -> None:
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
         spark.sparkContext.setJobDescription(None)
-    print(json.dumps({"queries": timings, "sf": SF_DIR, "cpus": CPUS,
-                      "repeats": repeats}))
+    ctl_after = _window_control()
+    print(json.dumps({
+        "queries": timings, "sf": SF_DIR, "cpus": CPUS, "repeats": repeats,
+        "window": {
+            "loadavg_before": [round(x, 2) for x in load_before],
+            "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+            "control_docs_per_sec": [round(ctl_before, 1),
+                                     round(ctl_after, 1)],
+        },
+    }))
     spark.stop()
 
 
