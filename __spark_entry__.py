@@ -703,7 +703,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         approx.select("query_id", "neighbor_id"), "ann_lsh_topk",
         sf_dir, lambda: _corpus_fp(emb),
     )
-    exact = brute_force_topk(queries, emb, k=5)
+    # exact side vectorized (round-6): recall_at_k consumes only the
+    # exact IDS — no cosine value reaches the output — so the fold's
+    # bit-parity contract doesn't apply here (it stays in
+    # ann_cosine_topk, whose VALUES are hashed). Rank identity between
+    # the fold and Arrow scorers is verified on every gate corpus with
+    # a >= 2e-4 rank-5/6 cosine margin (12 orders above float64 noise;
+    # OPTIMIZATION_r06.md), so the dump-oracle hash compare is
+    # unaffected while the 8 x N interpreted fold drops out.
+    exact = brute_force_topk(queries, emb, k=5, vectorized=True)
     return recall_at_k(found, exact, floor=0.6, mean_floor=0.9)
 
 
@@ -736,7 +744,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         approx.select("query_id", "neighbor_id"), "ann_ivf_topk",
         sf_dir, lambda: _corpus_fp(emb),
     )
-    exact = brute_force_topk(queries, emb, k=5)
+    # vectorized exact side — same id-only argument as ann_lsh_topk
+    exact = brute_force_topk(queries, emb, k=5, vectorized=True)
     return recall_at_k(found, exact, floor=0.2, mean_floor=0.6)
 
 
