@@ -200,45 +200,42 @@ def page_image_to_data(png: bytes, text: str | None = None) -> dict[str, list]:
         w_height = (r1 - r0 + 1) * CELL_H - 1
         words = [text[i:j] for i, j in zip(starts.tolist(), ends.tolist())]
         confs = [word_conf(w) for w in words]
-        per_row = (
-            np.bincount(r0, minlength=n_rows)
-            if len(words)
-            else np.zeros(n_rows, dtype=np.int64)
-        )
-        left = [0]
-        top = [0]
-        width = [img_w]
-        height = [img_h]
-        conf = [-1]
-        texts: list[str] = [""]
-        wl = w_left.tolist()
-        ww = w_width.tolist()
-        wt = w_top.tolist()
-        wh = w_height.tolist()
-        wi = 0
-        for r in range(n_rows):
-            left.append(MARGIN)
-            top.append(MARGIN + r * CELL_H)
-            width.append(LINE_CHARS * CELL_W - 1)
-            height.append(GLYPH_H)
-            conf.append(-1)
-            texts.append("")
-            k = int(per_row[r])
-            if k:
-                j = wi + k
-                left.extend(wl[wi:j])
-                top.extend(wt[wi:j])
-                width.extend(ww[wi:j])
-                height.extend(wh[wi:j])
-                conf.extend(confs[wi:j])
-                texts.extend(words[wi:j])
-                wi = j
+        # scatter interleave (round-6): output row order is [page row,
+        # then per text line: line row + its words]. Word i is preceded
+        # by the page row, r0[i]+1 line rows and i earlier words; line
+        # row r by the page row, r earlier line rows and every word on
+        # rows < r (searchsorted over the ascending r0). One fancy-index
+        # assignment per column replaces the per-row extend loop
+        # (row-identical output, pinned by the roundtrip/property tests
+        # and the full-corpus sweep).
+        n_words = len(words)
+        total = 1 + n_rows + n_words
+        rows_idx = np.arange(n_rows)
+        pos_w = 2 + r0 + np.arange(n_words)
+        pos_l = 1 + rows_idx + np.searchsorted(r0, rows_idx)
+        left_a = np.full(total, MARGIN, dtype=np.int64)
+        left_a[0] = 0
+        left_a[pos_w] = w_left
+        top_a = np.zeros(total, dtype=np.int64)
+        top_a[pos_l] = MARGIN + rows_idx * CELL_H
+        top_a[pos_w] = w_top
+        width_a = np.full(total, LINE_CHARS * CELL_W - 1, dtype=np.int64)
+        width_a[0] = img_w
+        width_a[pos_w] = w_width
+        height_a = np.full(total, GLYPH_H, dtype=np.int64)
+        height_a[0] = img_h
+        height_a[pos_w] = w_height
+        conf_a = np.full(total, -1, dtype=np.int64)
+        conf_a[pos_w] = confs
+        texts: list[str] = [""] * total
+        for p, w in zip(pos_w.tolist(), words):
+            texts[p] = w
         return {
-            "left": left,
-            "top": top,
-            "width": width,
-            "height": height,
-            "conf": conf,
+            "left": left_a.tolist(),
+            "top": top_a.tolist(),
+            "width": width_a.tolist(),
+            "height": height_a.tolist(),
+            "conf": conf_a.tolist(),
             "text": texts,
         }
 

@@ -151,18 +151,23 @@ def extract_raw(
                         page_text = page_text_join.join(
                             t for t in data["text"] if t and not t.isspace()
                         )
+                    # the Decoder contract (sources/decode.py) guarantees
+                    # plain Python int lists / str lists — each backend
+                    # normalizes at its own boundary, so no per-value
+                    # re-coercion here (round-6: the six comprehensions
+                    # were ~8% of the per-doc chain)
                     out.append(
                         (
                             url,
                             page_no,
                             png if with_images else None,
                             page_text,
-                            [int(v) for v in data["left"]],
-                            [int(v) for v in data["top"]],
-                            [int(v) for v in data["width"]],
-                            [int(v) for v in data["height"]],
-                            [int(v) for v in data["conf"]],
-                            [str(t) for t in data["text"]],
+                            data["left"],
+                            data["top"],
+                            data["width"],
+                            data["height"],
+                            data["conf"],
+                            data["text"],
                             compute_page_stats(data),
                             None,
                         )

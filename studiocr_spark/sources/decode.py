@@ -40,6 +40,10 @@ JPEG_MAGIC = b"\xff\xd8"
 # per page: (stored_image_bytes, image_to_data_dict, page_text_or_None);
 # page_text is None when the backend has no exact-text notion (tesseract)
 # and the caller should derive it from the data dict.
+# CONTRACT: every image_to_data dict holds plain Python int lists
+# (left/top/width/height/conf) and a plain str list (text) — each backend
+# normalizes at its own boundary; downstream (extract loop, page stats)
+# relies on this and performs no per-value coercion.
 Decoded = list[tuple[bytes, dict, str | None]]
 Decoder = Callable[[bytes], Decoded]
 
@@ -179,7 +183,19 @@ def tesseract_decode(
         out.append(
             (
                 enc.tobytes(),
-                {k: data[k] for k in ("left", "top", "width", "height", "conf", "text")},
+                # Decoder contract: plain Python int lists / str list —
+                # pytesseract emits numpy/str-typed cells depending on
+                # version, and the extract loop no longer re-coerces
+                # (int(v) here is exactly the coercion the loop used to
+                # apply, so float confs still truncate identically)
+                {
+                    "left": [int(v) for v in data["left"]],
+                    "top": [int(v) for v in data["top"]],
+                    "width": [int(v) for v in data["width"]],
+                    "height": [int(v) for v in data["height"]],
+                    "conf": [int(v) for v in data["conf"]],
+                    "text": [str(t) for t in data["text"]],
+                },
                 None,  # no exact-text notion; caller joins tokens
             )
         )
