@@ -143,6 +143,33 @@ def test_quirk_fixture_unit():
     assert stats["ascii_histogram"][ord(" ") - 32] == 3
 
 
+def test_page_stats_map_key_order_is_first_occurrence():
+    """Map key order in page_stats is part of the fixture contract: the
+    committed extract fixture is compared via to_json, which serializes
+    maps in INSERTION order, so word_counts/char_counts/conf_by_text
+    must keep Counter-style first-occurrence order. Pins the round-6
+    bincount fast path (np.unique(return_index) reorder) against the
+    natural-but-wrong ascending-code order."""
+    from studiocr_spark.functions.pagestats import compute_page_stats
+
+    data = {
+        "left": [0, 1, 2, 3],
+        "top": [0] * 4,
+        "width": [1] * 4,
+        "height": [1] * 4,
+        "conf": [-1, 9, 7, 9],
+        "text": ["", "zebra", "apple", "zebra"],
+    }
+    stats = compute_page_stats(data)
+    # 'z' precedes 'a' in the joined raw text -> must precede it in the map
+    assert list(stats["word_counts"]) == ["", "zebra", "apple"]
+    assert list(stats["char_counts"])[:4] == ["z", "e", "b", "r"]
+    assert list(stats["conf_by_text"]) == ["", "zebra", "apple"]
+    # value lists stay sorted and dense regardless of key order
+    assert stats["conf_by_text"]["zebra"] == [9]
+    assert stats["unique_chars"] == sorted(stats["unique_chars"])
+
+
 def test_hof_expr_agrees_with_udf_stats(extracted):
     """Declarative page_stats_expr == in-UDF page_stats (both strategies)."""
     from studiocr_spark.operators.stats import page_stats_expr
