@@ -965,12 +965,17 @@ def connected_components(
         # instead of a separate eager barrier per round — round-6; the
         # lineage cut is identical once materialized, and `parent` +
         # `propagated` still read the same checkpointed blocks)
+        # old_label (the round-start label) rides the checkpointed frame
+        # so the convergence check below is a join-free filter over the
+        # blocks the round just materialized — one narrow column instead
+        # of a per-round join of the old and new label tables (round-6).
         propagated = (
             labels.join(
                 neighbor_min, labels.node == neighbor_min.dst, "left"
             )
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
@@ -987,6 +992,7 @@ def connected_components(
             propagated.join(parent, "label", "left")
             .select(
                 "node",
+                "old_label",
                 F.least(
                     F.col("label"), F.coalesce("_grand", F.col("label"))
                 ).alias("label"),
@@ -994,9 +1000,7 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
+            new_labels.filter(F.col("label") != F.col("old_label"))
             .limit(1)
             .count()
         )

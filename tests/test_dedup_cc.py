@@ -46,6 +46,24 @@ def test_nonconvergence_raises_not_mislabels(spark):
     assert loose.count() == 13
 
 
+def test_cc_result_schema_and_internal_flag_not_leaked(spark):
+    """Round-6: the convergence check rides an `old_label` column on the
+    checkpointed label frame instead of a per-round join — that column
+    must never leak into the operator's output, and convergence must
+    still be detected by the first no-change round: this star graph
+    stops changing after round 2, so round 3 must read 'no change' from
+    the carried column (strict would raise at max_iter=3 otherwise)."""
+    from studiocr_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(5, 1), (5, 2), (5, 3)], "doc_a long, doc_b long"
+    )
+    out = connected_components(pairs, max_iter=3)
+    assert out.columns == ["doc_id", "cluster_id"]
+    got = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 1}
+
+
 def test_keep_best_in_clusters_argmax_policy(spark):
     """Clusters keep their highest-score member (ties -> min id);
     singletons always keep themselves."""
